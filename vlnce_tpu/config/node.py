@@ -169,4 +169,47 @@ def _coerce(value: Any, existing: Any, key: str) -> Any:
     raise TypeError(f"Type mismatch merging {key}: cannot replace {et.__name__} with {vt.__name__} ({value!r})")
 
 
+class StaticConfig:
+    """Immutable attribute-tree view of a Config, safe to store on flax
+    modules (flax coerces dict-typed fields to FrozenDict, losing attribute
+    access). Hashable and comparable by content."""
+
+    __slots__ = ("_items",)
+
+    def __init__(self, items):
+        object.__setattr__(self, "_items", tuple(items))
+
+    def __getattr__(self, name):
+        for k, v in self._items:
+            if k == name:
+                return v
+        raise AttributeError(name)
+
+    def __contains__(self, name):
+        return any(k == name for k, _ in self._items)
+
+    def __setattr__(self, name, value):
+        raise AttributeError("StaticConfig is immutable")
+
+    def __eq__(self, other):
+        return isinstance(other, StaticConfig) and self._items == other._items
+
+    def __hash__(self):
+        return hash(self._items)
+
+    def __repr__(self):
+        return f"StaticConfig({dict(self._items)!r})"
+
+
+def to_static(config: "Config") -> StaticConfig:
+    items = []
+    for k, v in config.items():
+        if isinstance(v, Config):
+            v = to_static(v)
+        elif isinstance(v, list):
+            v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+        items.append((k, v))
+    return StaticConfig(items)
+
+
 CN = Config
