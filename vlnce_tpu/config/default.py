@@ -13,10 +13,31 @@ import copy
 import math
 from typing import List, Optional, Union
 
+import os
+
 from vlnce_tpu.config.node import Config as CN
-from vlnce_tpu.tasks.config.default import get_extended_config as get_task_config
+from vlnce_tpu.tasks.config.default import get_extended_config as _get_task_config
 
 CONFIG_FILE_SEPARATOR = ","
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _resolve_config_path(path: str) -> str:
+    """Resolve a config path against cwd, then the repo root, so the CLI
+    works from any directory."""
+    if os.path.exists(path):
+        return path
+    rooted = os.path.join(_REPO_ROOT, path)
+    if os.path.exists(rooted):
+        return rooted
+    return path
+
+
+def get_task_config(config_paths=None, opts=None):
+    if isinstance(config_paths, str):
+        config_paths = _resolve_config_path(config_paths)
+    return _get_task_config(config_paths, opts)
 
 _C = CN()
 
@@ -129,6 +150,10 @@ _C.IL.DAGGER.lmdb_commit_frequency = 500
 _C.IL.DAGGER.preload_lmdb_features = False
 _C.IL.DAGGER.lmdb_features_dir = "data/trajectories_dirs/debug/trajectories.lmdb"
 _C.IL.DAGGER.drop_existing_lmdb_features = True
+# aliases kept because some published experiment YAMLs place these under
+# DAGGER; IL.load_from_ckpt/ckpt_to_load are authoritative
+_C.IL.DAGGER.load_from_ckpt = False
+_C.IL.DAGGER.ckpt_to_load = ""
 
 # ---------------------------------------------------------------------------
 # RL / PPO / DD-PPO
@@ -239,6 +264,9 @@ _C.MODEL.PROGRESS_MONITOR.alpha = 1.0
 _C.MODEL.SEQ2SEQ = CN()
 _C.MODEL.SEQ2SEQ.use_prev_action = False
 
+_C.MODEL.CMA = CN()  # key kept for YAML compat (reference test_set_inference)
+_C.MODEL.CMA.use = False
+
 _C.MODEL.WAYPOINT = CN()
 _C.MODEL.WAYPOINT.predict_distance = True
 _C.MODEL.WAYPOINT.continuous_distance = True
@@ -267,7 +295,7 @@ def get_config(
     YAML changes BASE_TASK_CONFIG_PATH (mirrors reference
     vlnce_baselines/config/default.py:294-334)."""
     config = _C.clone()
-    config.TASK_CONFIG = get_task_config().defrost()
+    config.TASK_CONFIG = get_task_config(config.BASE_TASK_CONFIG_PATH).clone().defrost()
 
     if config_paths:
         if isinstance(config_paths, str):
@@ -276,12 +304,22 @@ def get_config(
                 if CONFIG_FILE_SEPARATOR in config_paths
                 else [config_paths]
             )
+        import yaml as _yaml
+
         prev_task_config = ""
         for config_path in config_paths:
+            config_path = _resolve_config_path(config_path)
+            # reload the base task config BEFORE merging the file so
+            # TASK_CONFIG overrides in the same YAML survive (the reference
+            # reloads after, silently dropping them)
+            with open(config_path) as f:
+                peeked = _yaml.safe_load(f) or {}
+            base_path = peeked.get("BASE_TASK_CONFIG_PATH", config.BASE_TASK_CONFIG_PATH)
+            if base_path != prev_task_config:
+                config.BASE_TASK_CONFIG_PATH = base_path
+                config.TASK_CONFIG = get_task_config(base_path).clone().defrost()
+                prev_task_config = base_path
             config.merge_from_file(config_path)
-            if config.BASE_TASK_CONFIG_PATH != prev_task_config:
-                config.TASK_CONFIG = get_task_config(config.BASE_TASK_CONFIG_PATH).clone().defrost()
-                prev_task_config = config.BASE_TASK_CONFIG_PATH
 
     if opts:
         config.CMD_TRAILING_OPTS = list(opts)

@@ -68,6 +68,8 @@ class VlnResnetDepthEncoder(nn.Module):
             if not self.trainable:
                 feats = jax.lax.stop_gradient(feats)
             x = feats.transpose(0, 3, 1, 2)  # -> [B, C, h, w] reference layout
+            # expose frozen features for DAgger's caching collection path
+            self.sow("intermediates", "cached_features", x)
 
         if self.spatial_output:
             b, c, h, w = x.shape
@@ -129,6 +131,7 @@ class TorchVisionResNetEncoder(nn.Module):
             else:
                 feats = jnp.mean(feats, axis=(1, 2), keepdims=True)  # global avgpool
             x = feats.transpose(0, 3, 1, 2)  # [B, C, h, w]
+            self.sow("intermediates", "cached_features", x)
 
         if self.spatial_output:
             b, c, h, w = x.shape

@@ -102,6 +102,31 @@ class ILPolicy:
             rng = jax.random.PRNGKey(0)
         return self._act_fn(self.params, observations, rnn_states, prev_actions, masks, rng, deterministic)
 
+    def _act_features_impl(self, params, observations, rnn_states, prev_actions, masks, rng, deterministic: bool):
+        (logits, rnn_states_out, _), mods = self.module.apply(
+            {"params": params}, observations, rnn_states, prev_actions, masks,
+            mutable=["intermediates"],
+        )
+        dist = Categorical(logits)
+        action = dist.mode() if deterministic else dist.sample(rng)
+        feats = {}
+        inter = mods.get("intermediates", {}).get("net", {})
+        for enc_name, key in (("rgb_encoder", "rgb_features"), ("depth_encoder", "depth_features")):
+            entry = inter.get(enc_name, {}).get("cached_features")
+            if entry:
+                feats[key] = entry[0]
+        return action, rnn_states_out, feats
+
+    def act_with_features(self, observations, rnn_states, prev_actions, masks, deterministic: bool = False, rng=None):
+        """act() that also returns the frozen-encoder features computed during
+        the forward pass — the TPU replacement for the reference's
+        forward-hook feature capture (reference dagger_trainer.py:294-314)."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        if not hasattr(self, "_act_feat_fn"):
+            self._act_feat_fn = jax.jit(self._act_features_impl, static_argnames=("deterministic",))
+        return self._act_feat_fn(self.params, observations, rnn_states, prev_actions, masks, rng, deterministic)
+
     def _logits_fn(self, T: int):
         if T not in self._logits_fn_cache:
 

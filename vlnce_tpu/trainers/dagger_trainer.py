@@ -1,0 +1,298 @@
+"""DAgger / teacher-forcing imitation trainer.
+
+Parity with reference vlnce_baselines/dagger_trainer.py:234-610 redesigned
+for TPU:
+
+- Collection: one jitted act_with_features program per step returns the
+  sampled action AND the frozen-encoder features (replacing torch forward
+  hooks, reference:294-314); episodes are msgpack'd into the native
+  trajectory store (LMDB replacement) with periodic commits. beta-mixing
+  `where(rand < beta, expert, policy)` runs on device.
+- Training: the whole IL update (sequence forward via lax.scan +
+  inflection-weighted CE + aux losses + Adam) is ONE jitted program per
+  (bucketed T, N) shape; gradient accumulation is a device-side pytree.
+- Env batch stays fixed-size with an active mask (no tensor shrinking).
+"""
+
+from __future__ import annotations
+
+import functools
+import gc
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import tqdm
+
+from vlnce_tpu.registry import registry
+from vlnce_tpu.envs.batch import stack_obs
+from vlnce_tpu.envs.env_utils import construct_envs, get_env_class
+from vlnce_tpu.data.collate import TrajectoryBatchIterator
+from vlnce_tpu.data.trajectory_store import (
+    TrajectoryStoreReader,
+    TrajectoryStoreWriter,
+    store_length,
+)
+from vlnce_tpu.models.aux_losses import reduce_aux_losses
+from vlnce_tpu.ops.obs_transforms import apply_obs_transforms_batch, get_active_obs_transforms
+from vlnce_tpu.trainers.base_trainer import BaseVLNCETrainer
+from vlnce_tpu.utils.logging import logger
+from vlnce_tpu.utils.tensorboard import TensorboardWriter
+
+
+@registry.register_trainer(name="dagger")
+class DaggerTrainer(BaseVLNCETrainer):
+    def __init__(self, config):
+        self.features_dir = config.IL.DAGGER.lmdb_features_dir.format(
+            split=config.TASK_CONFIG.DATASET.SPLIT
+        )
+        super().__init__(config)
+        self._accum_grads = None
+        self._accum_count = 0
+        self._train_step_cache: Dict[Tuple[int, int], any] = {}
+
+    # ------------------------------------------------------------------ train
+    def train(self) -> None:
+        if self.config.IL.DAGGER.preload_lmdb_features:
+            if store_length(self.features_dir) == 0:
+                raise RuntimeError(f"no preloaded trajectories at {self.features_dir}")
+        elif self.config.IL.DAGGER.drop_existing_lmdb_features:
+            TrajectoryStoreWriter(self.features_dir, drop_existing=True).close()
+
+        config = self.config.defrost()
+        eps = config.IL.DAGGER.expert_policy_sensor
+        if eps not in config.TASK_CONFIG.TASK.SENSORS:
+            config.TASK_CONFIG.TASK.SENSORS.append(eps)
+        if config.IL.DAGGER.p == 1.0:
+            # teacher forcing: don't switch scenes mid-collection
+            config.TASK_CONFIG.ENVIRONMENT.ITERATOR_OPTIONS.MAX_SCENE_REPEAT_STEPS = -1
+        config.freeze()
+        self.config = config
+
+        self.obs_transforms = get_active_obs_transforms(config)
+        observation_space, action_space = self._get_spaces(config)
+        self._initialize_policy(
+            config,
+            load_from_ckpt=config.IL.load_from_ckpt,
+            observation_space=observation_space,
+            action_space=action_space,
+        )
+        os.makedirs(config.CHECKPOINT_FOLDER, exist_ok=True)
+
+        with TensorboardWriter(config.TENSORBOARD_DIR, purge_step=0) as writer:
+            for dagger_it in range(config.IL.DAGGER.iterations):
+                step_id = 0
+                if not config.IL.DAGGER.preload_lmdb_features:
+                    self._update_dataset(dagger_it + (1 if config.IL.load_from_ckpt else 0))
+                gc.collect()
+
+                reader = TrajectoryStoreReader(self.features_dir)
+                diter = TrajectoryBatchIterator(
+                    reader,
+                    batch_size=config.IL.batch_size,
+                    use_iw=config.IL.use_iw,
+                    inflection_weight_coef=config.IL.inflection_weight_coef,
+                    seed=config.TASK_CONFIG.SEED + dagger_it,
+                )
+                for epoch in tqdm.trange(config.IL.epochs, dynamic_ncols=True):
+                    for batch in tqdm.tqdm(diter, total=len(diter), leave=False, dynamic_ncols=True):
+                        observations, prev_actions, masks, corrected, weights = batch
+                        loss, action_loss, aux_loss = self._update_agent(
+                            observations, prev_actions, masks, corrected, weights
+                        )
+                        writer.add_scalar(f"train_loss_iter_{dagger_it}", loss, step_id)
+                        writer.add_scalar(f"train_action_loss_iter_{dagger_it}", action_loss, step_id)
+                        writer.add_scalar(f"train_aux_loss_iter_{dagger_it}", aux_loss, step_id)
+                        step_id += 1
+                    logger.info(
+                        f"[dagger it {dagger_it} epoch {epoch}] loss={loss:.4f} action={action_loss:.4f} aux={aux_loss:.4f}"
+                    )
+                    self.save_checkpoint(
+                        f"ckpt.{dagger_it * config.IL.epochs + epoch}.ckpt",
+                        extra_state={"epoch": epoch, "step_id": step_id, "dagger_it": dagger_it},
+                    )
+                reader.close()
+
+    # ------------------------------------------------------- jitted update
+    def _build_train_step(self, T: int, N: int):
+        module = self.policy.module
+        optimizer = self.optimizer
+        num_layers = self.policy.num_recurrent_layers
+        hidden = self.policy.hidden_size
+
+        def loss_fn(params, observations, prev_actions, masks, corrected, weights):
+            rnn_states = jnp.zeros((N, num_layers, hidden), jnp.float32)
+            logits, _, aux = module.apply(
+                {"params": params}, observations, rnn_states, prev_actions, masks, seq_len=T
+            )
+            logits = logits.reshape(T, N, -1)
+            log_probs = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(log_probs, corrected[..., None], axis=-1).squeeze(-1)
+            action_loss = jnp.mean(jnp.sum(weights * nll, axis=0) / jnp.maximum(jnp.sum(weights, axis=0), 1e-8))
+            aux_mask = (weights > 0).reshape(-1).astype(jnp.float32)
+            aux_loss = reduce_aux_losses(aux, aux_mask)
+            total = action_loss + aux_loss
+            return total, (action_loss, aux_loss)
+
+        @jax.jit
+        def train_step(params, optim_state, observations, prev_actions, masks, corrected, weights):
+            (loss, (action_loss, aux_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, observations, prev_actions, masks, corrected, weights
+            )
+            updates, optim_state = optimizer.update(grads, optim_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, optim_state, loss, action_loss, aux_loss
+
+        return train_step
+
+    def _update_agent(self, observations, prev_actions, masks, corrected, weights) -> Tuple[float, float, float]:
+        T, N = corrected.shape
+        key = (T, N)
+        if key not in self._train_step_cache:
+            self._train_step_cache[key] = self._build_train_step(T, N)
+        obs_dev = apply_obs_transforms_batch(
+            {k: jnp.asarray(v) for k, v in observations.items()}, self.obs_transforms
+        )
+        params, optim_state, loss, action_loss, aux_loss = self._train_step_cache[key](
+            self.policy.params, self.optim_state, obs_dev,
+            jnp.asarray(prev_actions), jnp.asarray(masks), jnp.asarray(corrected), jnp.asarray(weights),
+        )
+        self.policy.params = params
+        self.optim_state = optim_state
+        return float(loss), float(action_loss), float(aux_loss)
+
+    # --------------------------------------------------------- collection
+    def _update_dataset(self, data_it: int) -> None:
+        config = self.config
+        envs = construct_envs(config, get_env_class(config.ENV_NAME))
+        expert_uuid = config.IL.DAGGER.expert_policy_sensor_uuid
+
+        N = envs.num_envs
+        rnn_states = self.policy.initial_rnn_states(N)
+        prev_actions = jnp.zeros((N, 1), jnp.int32)
+        not_done_masks = jnp.zeros((N, 1), jnp.float32)
+
+        observations = envs.reset()
+        obs_host = stack_obs(observations)
+        per_env_obs = observations
+
+        episodes: List[List] = [[] for _ in range(N)]
+        skips = [False] * N
+        dones = [False] * N
+        active = [True] * N
+
+        p = config.IL.DAGGER.p
+        beta = 0.0 if p == 0.0 else p**data_it
+        ensure_unique_episodes = beta == 1.0
+
+        cache_rgb = not config.MODEL.RGB_ENCODER.trainable
+        cache_depth = not config.MODEL.DEPTH_ENCODER.trainable
+
+        writer = TrajectoryStoreWriter(self.features_dir, drop_existing=False)
+        collected_eps = 0
+        ep_ids_collected = None
+        if ensure_unique_episodes:
+            ep_ids_collected = {ep.episode_id for ep in envs.current_episodes()}
+
+        pbar = tqdm.tqdm(total=config.IL.DAGGER.update_size, dynamic_ncols=True)
+        current_episodes = envs.current_episodes()
+
+        while collected_eps < config.IL.DAGGER.update_size and any(active):
+            # flush finished episodes to the store
+            for i in range(N):
+                if not active[i]:
+                    continue
+                if dones[i] and not skips[i]:
+                    ep = episodes[i]
+                    traj_obs: Dict[str, np.ndarray] = {}
+                    for k in ep[0][0].keys():
+                        if k == expert_uuid:
+                            continue
+                        arr = np.stack([np.asarray(step[0][k]) for step in ep], axis=0)
+                        if config.IL.DAGGER.lmdb_fp16 and arr.dtype == np.float32:
+                            arr = arr.astype(np.float16)
+                        traj_obs[k] = arr
+                    writer.put(
+                        [
+                            traj_obs,
+                            np.array([step[1] for step in ep], dtype=np.int64),
+                            np.array([step[2] for step in ep], dtype=np.int64),
+                        ]
+                    )
+                    collected_eps += 1
+                    pbar.update()
+                    if collected_eps % config.IL.DAGGER.lmdb_commit_frequency == 0:
+                        writer.commit()
+                    if ensure_unique_episodes:
+                        new_ep = envs.call_at(i, "current_episode")
+                        if new_ep.episode_id in ep_ids_collected:
+                            active[i] = False
+                        else:
+                            ep_ids_collected.add(new_ep.episode_id)
+                if dones[i]:
+                    episodes[i] = []
+
+            if collected_eps >= config.IL.DAGGER.update_size or not any(active):
+                break
+
+            batch = apply_obs_transforms_batch(
+                {k: jax.device_put(v) for k, v in obs_host.items()}, self.obs_transforms
+            )
+            actions, rnn_states, feats = self.policy.act_with_features(
+                batch, rnn_states, prev_actions, not_done_masks,
+                deterministic=False, rng=self._next_rng(),
+            )
+            # beta-mix expert and policy actions on device
+            expert_actions = jnp.asarray(obs_host[expert_uuid]).astype(jnp.int32).reshape(-1, 1)
+            mix = jax.random.uniform(self._next_rng(), actions.shape)
+            actions = jnp.where(mix < beta, expert_actions, actions)
+
+            # bf16 device features -> a numpy-serializable dtype for the store
+            store_dtype = jnp.float16 if config.IL.DAGGER.lmdb_fp16 else jnp.float32
+            rgb_feats = (
+                np.asarray(feats["rgb_features"].astype(store_dtype))
+                if cache_rgb and "rgb_features" in feats else None
+            )
+            depth_feats = (
+                np.asarray(feats["depth_features"].astype(store_dtype))
+                if cache_depth and "depth_features" in feats else None
+            )
+
+            expert_np = np.asarray(expert_actions).reshape(-1)
+            prev_np = np.asarray(prev_actions).reshape(-1)
+            for i in range(N):
+                if not active[i]:
+                    continue
+                step_obs = dict(per_env_obs[i])
+                if rgb_feats is not None:
+                    step_obs["rgb_features"] = rgb_feats[i]
+                    step_obs.pop("rgb", None)
+                if depth_feats is not None:
+                    step_obs["depth_features"] = depth_feats[i]
+                    step_obs.pop("depth", None)
+                episodes[i].append((step_obs, int(prev_np[i]), int(expert_np[i])))
+
+            # skip episodes where the expert has no path (expert == -1)
+            skips = [bool(expert_np[i] == -1) for i in range(N)]
+            actions_np = np.asarray(actions).reshape(-1).copy()
+            actions_np[np.asarray(skips)] = 0
+            prev_actions = jnp.asarray(actions_np.reshape(-1, 1))
+
+            active_ids = [i for i in range(N) if active[i]]
+            stepped = envs.step_at(active_ids, [int(actions_np[i]) for i in active_ids])
+            dones = [False] * N
+            for i, (obs, _, done, _) in zip(active_ids, stepped):
+                per_env_obs[i] = obs
+                dones[i] = done
+                for k, v in obs.items():
+                    obs_host[k][i] = np.asarray(v)
+            not_done_masks = jnp.asarray(
+                np.array([[0.0] if dones[i] else [1.0] for i in range(N)], np.float32)
+            )
+
+        writer.close()
+        pbar.close()
+        envs.close()

@@ -1,0 +1,105 @@
+"""Video/observability frames (host-side, off the hot path).
+
+Covers reference habitat_extensions/utils.py:27-680: composited frames from
+RGB + depth + top-down map, instruction text overlay, and disk/TensorBoard
+video output.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _depth_to_rgb(depth: np.ndarray) -> np.ndarray:
+    d = np.clip(np.asarray(depth).squeeze(-1) if depth.ndim == 3 else depth, 0, 1)
+    return (np.stack([d, d, d], axis=-1) * 255).astype(np.uint8)
+
+
+def observations_to_image(observation: Dict, info: Dict, frame_height: int = 224) -> np.ndarray:
+    """Compose rgb | depth | top-down-map into one frame
+    (reference utils.py:27-109)."""
+    import cv2
+
+    panels: List[np.ndarray] = []
+    if "rgb" in observation:
+        rgb = np.asarray(observation["rgb"])
+        if rgb.ndim == 4:  # pano [12, H, W, 3]: tile the front 4 frames
+            rgb = np.concatenate([rgb[i] for i in (0, 3, 6, 9)], axis=1)
+        panels.append(rgb.astype(np.uint8))
+    if "depth" in observation:
+        d = np.asarray(observation["depth"])
+        if d.ndim == 4:
+            d = d[0]
+        panels.append(_depth_to_rgb(d))
+    if "top_down_map_vlnce" in (info or {}):
+        from vlnce_tpu.utils.maps import colorize_topdown_metric
+
+        panels.append(colorize_topdown_metric(info["top_down_map_vlnce"]))
+
+    if not panels:
+        return np.zeros((frame_height, frame_height, 3), np.uint8)
+    scaled = []
+    for p in panels:
+        scale = frame_height / p.shape[0]
+        scaled.append(cv2.resize(p, (max(1, int(p.shape[1] * scale)), frame_height)))
+    return np.concatenate(scaled, axis=1)
+
+
+def append_text_to_image(image: np.ndarray, text: str, font_size: float = 0.5) -> np.ndarray:
+    """Underlay of wrapped instruction text (reference utils.py:217-280)."""
+    import cv2
+
+    h, w = image.shape[:2]
+    font = cv2.FONT_HERSHEY_SIMPLEX
+    words = (text or "").split()
+    lines, cur = [], ""
+    for word in words:
+        test = (cur + " " + word).strip()
+        if cv2.getTextSize(test, font, font_size, 1)[0][0] > w - 10:
+            lines.append(cur)
+            cur = word
+        else:
+            cur = test
+    lines.append(cur)
+    line_h = int(cv2.getTextSize("Ag", font, font_size, 1)[0][1] * 1.6)
+    banner = np.zeros((line_h * len(lines) + 10, w, 3), np.uint8)
+    for i, line in enumerate(lines):
+        cv2.putText(banner, line, (5, (i + 1) * line_h), font, font_size, (255, 255, 255), 1)
+    return np.concatenate([image, banner], axis=0)
+
+
+def images_to_video(images: List[np.ndarray], output_dir: str, video_name: str, fps: int = 10) -> str:
+    import cv2
+
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, f"{video_name}.mp4")
+    h, w = images[0].shape[:2]
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    for frame in images:
+        writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+    writer.release()
+    return path
+
+
+def generate_video(
+    video_option: List[str],
+    video_dir: Optional[str],
+    images: List[np.ndarray],
+    episode_id: str,
+    checkpoint_idx: int,
+    metrics: Dict[str, float],
+    tb_writer=None,
+    fps: int = 10,
+) -> None:
+    """Write frames to disk and/or TensorBoard (reference utils.py:640-680)."""
+    if len(images) < 1:
+        return
+    metric_strs = [f"{k}={v:.2f}" for k, v in metrics.items()]
+    video_name = f"episode={episode_id}-ckpt={checkpoint_idx}-" + "-".join(metric_strs)
+    if "disk" in video_option and video_dir is not None:
+        images_to_video(images, video_dir, video_name, fps=fps)
+    if "tensorboard" in video_option and tb_writer is not None:
+        tb_writer.add_video_from_np_images(f"episode{episode_id}", checkpoint_idx, images, fps=fps)
