@@ -1,0 +1,165 @@
+#!/usr/bin/env python3
+"""Headline benchmark: CMA policy env-step throughput on one TPU chip.
+
+Measures the full jitted CMA act step (torchvision-ResNet50 RGB encoder at
+224x224, GroupNorm-ResNet50 depth encoder at 256x256, biLSTM instruction
+encoder, cross-modal attention, two GRUs) at a production env batch, in
+bfloat16, with recurrent state resident on device across steps.
+
+Baseline: the same per-env-step encoder compute (the >99%-FLOP component of
+the reference policy) in PyTorch on CPU — the reference runs its policy on
+whatever single "model GPU/CPU" is available; BASELINE.json's north star is
+>=10x PyTorch-CPU policy-step throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+B = 8  # env batch per step
+RGB_HW = 224
+DEPTH_HW = 256
+INSTR_LEN = 200
+WARMUP = 3
+ITERS = 20
+BASELINE_ITERS = 3
+
+
+def bench_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+    from gymnasium import spaces
+
+    from vlnce_tpu.config import get_config
+    from vlnce_tpu.models.cma_policy import CMAPolicy
+
+    cfg = get_config(
+        opts=[
+            "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", False,
+            "MODEL.INSTRUCTION_ENCODER.bidirectional", True,
+        ]
+    )
+    space = spaces.Dict(
+        {
+            "rgb": spaces.Box(0, 255, (RGB_HW, RGB_HW, 3), np.uint8),
+            "depth": spaces.Box(0, 1, (DEPTH_HW, DEPTH_HW, 1), np.float32),
+            "instruction": spaces.Box(0, 10000, (INSTR_LEN,), np.int32),
+            "progress": spaces.Box(0, 1, (1,), np.float32),
+        }
+    )
+    policy = CMAPolicy.from_config(cfg, space, spaces.Discrete(4))
+    policy.init_params(jax.random.PRNGKey(0), batch_size=B)
+
+    rng = np.random.RandomState(0)
+    obs = {
+        "rgb": jnp.asarray(rng.randint(0, 255, (B, RGB_HW, RGB_HW, 3), dtype=np.uint8)),
+        "depth": jnp.asarray(rng.rand(B, DEPTH_HW, DEPTH_HW, 1).astype(np.float32)),
+        "instruction": jnp.asarray(
+            np.pad(rng.randint(1, 2000, (B, 40)), ((0, 0), (0, INSTR_LEN - 40))).astype(np.int32)
+        ),
+        "progress": jnp.zeros((B, 1), jnp.float32),
+    }
+    states = policy.initial_rnn_states(B)
+    prev_actions = jnp.zeros((B, 1), jnp.int32)
+    masks = jnp.ones((B, 1), jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    for _ in range(WARMUP):
+        actions, states = policy.act(obs, states, prev_actions, masks, rng=key)
+    jax.block_until_ready(states)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        actions, states = policy.act(obs, states, actions, masks, rng=key)
+    jax.block_until_ready(states)
+    dt = time.perf_counter() - t0
+    return B * ITERS / dt
+
+
+def _torch_resnet50(in_channels: int):
+    """Minimal torch ResNet50 trunk (conv1 + 4 bottleneck stages) with the
+    same FLOP profile as torchvision's; torchvision is not in this image."""
+    import torch.nn as nn
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, planes, stride=1):
+            super().__init__()
+            cout = planes * 4
+            self.body = nn.Sequential(
+                nn.Conv2d(cin, planes, 1, bias=False), nn.BatchNorm2d(planes), nn.ReLU(True),
+                nn.Conv2d(planes, planes, 3, stride, 1, bias=False), nn.BatchNorm2d(planes), nn.ReLU(True),
+                nn.Conv2d(planes, cout, 1, bias=False), nn.BatchNorm2d(cout),
+            )
+            self.ds = (
+                nn.Sequential(nn.Conv2d(cin, cout, 1, stride, bias=False), nn.BatchNorm2d(cout))
+                if stride != 1 or cin != cout else nn.Identity()
+            )
+            self.relu = nn.ReLU(True)
+
+        def forward(self, x):
+            return self.relu(self.body(x) + self.ds(x))
+
+    layers, blocks = [], (3, 4, 6, 3)
+    layers += [nn.Conv2d(in_channels, 64, 7, 2, 3, bias=False), nn.BatchNorm2d(64), nn.ReLU(True), nn.MaxPool2d(3, 2, 1)]
+    cin = 64
+    for stage, n in enumerate(blocks):
+        planes = 64 * 2**stage
+        for b in range(n):
+            layers.append(Bottleneck(cin, planes, stride=2 if (b == 0 and stage > 0) else 1))
+            cin = planes * 4
+    import torch.nn as nn2
+
+    return nn2.Sequential(*layers)
+
+
+def bench_torch_cpu_baseline() -> float:
+    """Per-env-step encoder compute of the reference CMA policy in torch/CPU:
+    one resnet50 on [B,3,224,224] + one resnet50 on the avg-pooled depth
+    (reference resnet_encoders.py:17-115, 118-219). Omitting the
+    RNN/attention overhead makes this baseline strictly conservative."""
+    import torch
+
+    rgb_net = _torch_resnet50(3).eval()
+    depth_net = _torch_resnet50(1).eval()
+
+    rgb = torch.rand(B, 3, RGB_HW, RGB_HW)
+    depth = torch.rand(B, 1, DEPTH_HW // 2, DEPTH_HW // 2)  # GN encoder avg-pools 2x first
+
+    with torch.no_grad():
+        rgb_net(rgb)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(BASELINE_ITERS):
+            rgb_net(rgb)
+            depth_net(depth)
+        dt = time.perf_counter() - t0
+    return B * BASELINE_ITERS / dt
+
+
+def main() -> None:
+    tpu_sps = bench_tpu()
+    try:
+        cpu_sps = bench_torch_cpu_baseline()
+    except Exception as e:  # torch missing/broken should not kill the bench
+        print(f"baseline failed: {e}", file=sys.stderr)
+        cpu_sps = float("nan")
+    vs = tpu_sps / cpu_sps if cpu_sps == cpu_sps else None
+    print(
+        json.dumps(
+            {
+                "metric": "cma_policy_env_steps_per_sec_per_chip",
+                "value": round(tpu_sps, 2),
+                "unit": "env-steps/s",
+                "vs_baseline": round(vs, 2) if vs is not None else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

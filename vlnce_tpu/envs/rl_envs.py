@@ -155,6 +155,8 @@ class VLNCEWaypointEnvDiscretized(VLNCEWaypointEnv):
         )
 
     def step(self, action) -> Tuple[Dict, float, bool, Dict]:
+        if isinstance(action, dict) and isinstance(action.get("action"), dict):
+            action = action["action"]  # unwrap habitat-style nested spec
         if isinstance(action, dict) and action.get("action") == "GO_TOWARD_POINT":
             r = float(action["action_args"]["r"])
             theta = float(action["action_args"]["theta"])

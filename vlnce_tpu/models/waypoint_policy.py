@@ -49,7 +49,7 @@ class WaypointPolicy:
         self._offset_limit = math.pi / num_panos
         self.params = None
         self._act_fn = jax.jit(self._act_impl, static_argnames=("deterministic",))
-        self._eval_fn = jax.jit(self._evaluate_impl)
+        self._eval_fn = jax.jit(self._evaluate_impl, static_argnames=("seq_len",))
         self._value_fn = jax.jit(self._value_impl)
 
     # -- construction --------------------------------------------------------
@@ -201,8 +201,8 @@ class WaypointPolicy:
     def get_value(self, observations, rnn_states, prev_actions, masks):
         return self._value_fn(self.params, observations, rnn_states, prev_actions, masks)
 
-    def _evaluate_impl(self, params, observations, rnn_states, prev_actions, masks, action_components):
-        out = self.module.apply({"params": params}, observations, rnn_states, prev_actions, masks)
+    def _evaluate_impl(self, params, observations, rnn_states, prev_actions, masks, action_components, seq_len=None):
+        out = self.module.apply({"params": params}, observations, rnn_states, prev_actions, masks, seq_len=seq_len)
         pano_dist = Categorical(out["pano_stop_logits"])
         pano_stop = action_components["pano"]
         pano_log_probs = pano_dist.log_prob(pano_stop)
@@ -229,5 +229,5 @@ class WaypointPolicy:
         }
         return out["value"], action_log_probs, entropy, out["rnn_states"]
 
-    def evaluate_actions(self, observations, rnn_states, prev_actions, masks, action_components):
-        return self._eval_fn(self.params, observations, rnn_states, prev_actions, masks, action_components)
+    def evaluate_actions(self, observations, rnn_states, prev_actions, masks, action_components, seq_len=None):
+        return self._eval_fn(self.params, observations, rnn_states, prev_actions, masks, action_components, seq_len=seq_len)

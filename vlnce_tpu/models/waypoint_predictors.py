@@ -71,7 +71,7 @@ class WaypointPredictionNet(nn.Module):
         return 2 * per
 
     @nn.compact
-    def __call__(self, observations, rnn_states, prev_actions: Dict[str, jnp.ndarray], masks):
+    def __call__(self, observations, rnn_states, prev_actions: Dict[str, jnp.ndarray], masks, seq_len: Optional[int] = None):
         mc = self.model_config
         wc = mc.WAYPOINT
         H = self.hidden_size
@@ -166,8 +166,18 @@ class WaypointPredictionNet(nn.Module):
             hidden_size=H, rnn_type=mc.STATE_ENCODER.rnn_type, name="visual_rnn",
         )
         L1 = visual_rnn.num_recurrent_layers
+
+        def run_rnn(rnn, x, states, m):
+            # sequence mode (seq_len=T, x flattened [T*n, D]) or single step
+            if seq_len is None:
+                return rnn(x, states, m)
+            T = seq_len
+            n = x.shape[0] // T
+            out, s = rnn(x.reshape(T, n, -1), states, m.reshape(T, n, 1))
+            return out.reshape(T * n, -1), s
+
         rnn_in = jnp.concatenate([rgb_pooled, prev_action_feats, rgb_hist_in, depth_hist_in], axis=1)
-        visual_hist_feats, rnn1_out = visual_rnn(rnn_in, rnn_states[:, :L1], masks)
+        visual_hist_feats, rnn1_out = run_rnn(visual_rnn, rnn_in, rnn_states[:, :L1], masks)
 
         # -- instruction attention ------------------------------------------
         dk = H // 2
@@ -211,7 +221,7 @@ class WaypointPredictionNet(nn.Module):
         x = jnp.concatenate([text_embedding, attended_pano, visual_hist_feats, prev_action_feats], axis=1)
         x = nn.relu(nn.Dense(H, name="main_state_compress")(x))
         main_rnn = RNNStateEncoder(input_size=H, hidden_size=H, rnn_type=mc.STATE_ENCODER.rnn_type, name="main_state_encoder")
-        x, rnn2_out = main_rnn(x, rnn_states[:, L1:], masks)
+        x, rnn2_out = run_rnn(main_rnn, x, rnn_states[:, L1:], masks)
         rnn_states_out = jnp.concatenate([rnn1_out, rnn2_out], axis=1)
 
         # -- output heads ----------------------------------------------------

@@ -1,0 +1,47 @@
+"""Device mesh construction and sharding helpers.
+
+The scaling story (SURVEY.md §2.5, §5.8): the reference's only model-level
+parallelism is decentralized data-parallel DD-PPO over NCCL ranks. Here that
+becomes ONE data-parallel mesh axis over TPU chips with XLA collectives over
+ICI; a MODEL axis is declared for future growth but stays size 1 for these
+model families. Gradient allreduce = lax.pmean inside shard_map — no process
+groups, no NCCL.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(num_devices: Optional[int] = None, model_parallel: int = 1, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    assert n % model_parallel == 0, f"{n} devices not divisible by model={model_parallel}"
+    grid = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def mesh_from_config(config) -> Mesh:
+    data = config.TPU.MESH.DATA
+    model = max(1, int(config.TPU.MESH.MODEL))
+    num = None if data in (-1, None) else int(data) * model
+    return make_mesh(num_devices=num, model_parallel=model)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis: int = 0) -> NamedSharding:
+    spec = [None] * (axis + 1)
+    spec[axis] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))

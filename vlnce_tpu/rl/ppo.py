@@ -1,0 +1,187 @@
+"""PPO update for dict-action waypoint policies (WDDPPO).
+
+Loss parity with reference vlnce_baselines/common/ddppo_alg.py:9-149:
+clipped surrogate, clipped value loss, 3-component entropy with separate
+pano/offset/distance coefficients, and L1 offset regularization.
+
+TPU-native: each minibatch update (sequence forward via lax.scan + all loss
+terms + grad clip + Adam) is ONE jitted program per (T, n) shape; the
+distributed variant wraps the same local step in shard_map over the env axis
+with lax.pmean on gradients — the XLA/ICI replacement for DDPPO's NCCL
+allreduce (reference ddppo_alg.py:4,9; SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from vlnce_tpu.parallel.mesh import DATA_AXIS
+from vlnce_tpu.models.waypoint_predictors import offset_to_continuous
+
+
+class WDDPPO:
+    def __init__(
+        self,
+        policy,
+        ppo_cfg,
+        mesh: Optional[Mesh] = None,
+        offset_regularize_coef: float = 0.0,
+        pano_entropy_coef: float = 1.0,
+        offset_entropy_coef: float = 1.0,
+        distance_entropy_coef: float = 1.0,
+    ):
+        self.policy = policy
+        self.cfg = ppo_cfg
+        self.mesh = mesh
+        self.offset_regularize_coef = offset_regularize_coef
+        self.pano_entropy_coef = pano_entropy_coef
+        self.offset_entropy_coef = offset_entropy_coef
+        self.distance_entropy_coef = distance_entropy_coef
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
+            optax.adam(ppo_cfg.lr, eps=ppo_cfg.eps),
+        )
+        self.optim_state = self.optimizer.init(policy.params)
+        self._step_cache: Dict[Tuple[int, int], any] = {}
+
+    # ------------------------------------------------------------- advantages
+    def get_advantages(self, rollouts) -> np.ndarray:
+        adv = rollouts.returns[:-1] - rollouts.value_preds[:-1]
+        if not self.cfg.use_normalized_advantage:
+            return adv
+        return (adv - adv.mean()) / (adv.std() + 1e-5)
+
+    # ------------------------------------------------------------- loss core
+    def _loss(self, params, sample, T: int):
+        (
+            obs, hidden0, actions, prev_actions, value_preds, returns,
+            masks, old_log_probs, adv_targ,
+        ) = sample
+
+        def flat(v):
+            return v.reshape((T * v.shape[1],) + v.shape[2:])
+
+        obs = {k: flat(v) for k, v in obs.items()}
+        actions = {k: flat(v) for k, v in actions.items()}
+        prev_actions = {k: flat(v) for k, v in prev_actions.items()}
+        value_preds, returns, masks, old_log_probs, adv_targ = (
+            flat(value_preds), flat(returns), flat(masks), flat(old_log_probs), flat(adv_targ),
+        )
+        values, action_log_probs, entropy, _ = self.policy._evaluate_impl(
+            params, obs, hidden0, prev_actions, masks, actions, seq_len=T
+        )
+
+        entropy_loss = (
+            self.pano_entropy_coef * entropy["pano"]
+            + self.offset_entropy_coef * entropy["offset"]
+            + self.distance_entropy_coef * entropy["distance"]
+        ).mean() * self.cfg.entropy_coef
+
+        ratio = jnp.exp(action_log_probs - old_log_probs)
+        surr1 = ratio * adv_targ
+        surr2 = jnp.clip(ratio, 1.0 - self.cfg.clip_param, 1.0 + self.cfg.clip_param) * adv_targ
+        action_loss = -jnp.minimum(surr1, surr2).mean()
+
+        if self.cfg.clip_value_loss:
+            value_pred_clipped = value_preds + jnp.clip(
+                values - value_preds, -self.cfg.clip_param, self.cfg.clip_param
+            )
+            value_loss = 0.5 * jnp.maximum(
+                (values - returns) ** 2, (value_pred_clipped - returns) ** 2
+            ).mean()
+        else:
+            value_loss = 0.5 * ((returns - values) ** 2).mean()
+        value_loss = value_loss * self.cfg.value_loss_coef
+
+        offset_loss = 0.0
+        if "offset" in actions:
+            offsets = offset_to_continuous(actions["offset"], self.policy.wypt_cfg, self.policy.num_panos)
+            offset_loss = self.offset_regularize_coef * jnp.abs(offsets).mean()
+
+        total = value_loss + action_loss + offset_loss - entropy_loss
+        stats = {
+            "value_loss": value_loss,
+            "action_loss": action_loss,
+            "entropy_loss": entropy_loss,
+            "pano_entropy": entropy["pano"].mean(),
+            "offset_entropy": entropy["offset"].mean(),
+            "distance_entropy": entropy["distance"].mean(),
+        }
+        return total, stats
+
+    def _build_step(self, T: int, n: int):
+        def local_step(params, optim_state, sample):
+            (_, stats), grads = jax.value_and_grad(self._loss, has_aux=True)(params, sample, T)
+            if self.mesh is not None:
+                grads = jax.lax.pmean(grads, DATA_AXIS)
+                stats = jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, DATA_AXIS), stats)
+            updates, optim_state = self.optimizer.update(grads, optim_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, optim_state, stats
+
+        if self.mesh is None:
+            return jax.jit(local_step)
+
+        # shard the env axis of the minibatch over the DATA mesh axis:
+        # obs/actions/etc are [T, n, ...] (axis 1), hidden0 is [n, ...]
+        # (axis 0); params/opt state replicated; grads pmean'd in local_step.
+        sample_spec = (
+            P(None, DATA_AXIS),  # obs dict leaves
+            P(DATA_AXIS),  # hidden0
+            P(None, DATA_AXIS),  # actions
+            P(None, DATA_AXIS),  # prev_actions
+            P(None, DATA_AXIS),  # value_preds
+            P(None, DATA_AXIS),  # returns
+            P(None, DATA_AXIS),  # masks
+            P(None, DATA_AXIS),  # old_log_probs
+            P(None, DATA_AXIS),  # adv_targ
+        )
+        sharded = shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(P(), P(), sample_spec),
+            out_specs=(P(), P(), P()),
+            check_rep=False,
+        )
+        return jax.jit(sharded)
+
+    # ------------------------------------------------------------------ update
+    def update(self, rollouts, rng: np.random.RandomState):
+        advantages = self.get_advantages(rollouts)
+        agg = {k: 0.0 for k in ("value_loss", "action_loss", "entropy_loss", "pano_entropy", "offset_entropy", "distance_entropy")}
+
+        num_updates = 0
+        for _ in range(self.cfg.ppo_epoch):
+            for sample in rollouts.recurrent_generator(advantages, self.cfg.num_mini_batch, rng):
+                (*tensors, T, n) = sample
+                obs, hidden0, actions, prev_actions, value_preds, returns, masks, old_lp, adv = tensors
+                dev_sample = (
+                    {k: jnp.asarray(v) for k, v in obs.items()},
+                    jnp.asarray(hidden0),
+                    {k: jnp.asarray(v) for k, v in actions.items()},
+                    {k: jnp.asarray(v) for k, v in prev_actions.items()},
+                    jnp.asarray(value_preds),
+                    jnp.asarray(returns),
+                    jnp.asarray(masks),
+                    jnp.asarray(old_lp),
+                    jnp.asarray(adv),
+                )
+                key = (T, n)
+                if key not in self._step_cache:
+                    self._step_cache[key] = self._build_step(T, n)
+                self.policy.params, self.optim_state, stats = self._step_cache[key](
+                    self.policy.params, self.optim_state, dev_sample
+                )
+                for k in agg:
+                    agg[k] += float(stats[k])
+                num_updates += 1
+
+        return {k: v / max(num_updates, 1) for k, v in agg.items()}

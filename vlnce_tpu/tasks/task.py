@@ -49,6 +49,10 @@ class VLNTask:
         if not isinstance(action, dict):
             action = {"action": action}
         name = action["action"]
+        if isinstance(name, dict):
+            # habitat-style nested spec: {"action": {"action": name, "action_args": {...}}}
+            action = name
+            name = action["action"]
         if isinstance(name, (int, np.integer)):
             name = self.action_names[int(name)]
         action_args = action.get("action_args") or {}

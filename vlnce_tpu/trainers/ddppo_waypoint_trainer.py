@@ -1,0 +1,423 @@
+"""DD-PPO waypoint trainer (distributed RL).
+
+Covers reference vlnce_baselines/ddppo_waypoint_trainer.py:54-986, redesigned
+for the TPU topology (SURVEY.md §5.8): the reference runs M SLURM ranks each
+owning a policy replica + 4 sims with NCCL gradient allreduce and a TCP-store
+straggler counter. Here ONE host process drives the whole env pool and a
+data-parallel mesh of chips runs the PPO update with lax.pmean gradient
+sync; rollouts are fixed-length and lockstep, so the sync_frac straggler
+preemption machinery is unnecessary by construction (policy steps are batched
+into one device program).
+
+SLURM preemption/requeue parity: SIGUSR1/SIGTERM install EXIT/REQUEUE events;
+on requeue the full training state (params, optimizer, update counter,
+running stats) is written to RL.DDPPO.requeue_path and restored on restart.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import time
+from collections import defaultdict, deque
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import tqdm
+from gymnasium import spaces
+
+from vlnce_tpu.registry import registry
+from vlnce_tpu.config.default import add_pano_sensors_to_config
+from vlnce_tpu.envs.batch import stack_obs
+from vlnce_tpu.envs.env_utils import construct_envs, construct_envs_auto_reset_false, get_env_class
+from vlnce_tpu.models.waypoint_policy import WaypointPolicy
+from vlnce_tpu.models.waypoint_predictors import distance_to_continuous, offset_to_continuous
+from vlnce_tpu.ops.obs_transforms import (
+    apply_obs_transforms_batch,
+    apply_obs_transforms_obs_space,
+    get_active_obs_transforms,
+)
+from vlnce_tpu.parallel.mesh import mesh_from_config
+from vlnce_tpu.rl.ppo import WDDPPO
+from vlnce_tpu.rl.rollout_storage import ActionDictRolloutStorage
+from vlnce_tpu.trainers.base_trainer import BaseVLNCETrainer
+from vlnce_tpu.utils.checkpoints import load_checkpoint, save_checkpoint
+from vlnce_tpu.utils.logging import logger
+from vlnce_tpu.utils.tensorboard import TensorboardWriter
+
+EXIT = {"flag": False}
+REQUEUE = {"flag": False}
+
+
+def _signal_handler(signum, frame):
+    EXIT["flag"] = True
+    if signum in (signal.SIGUSR1,):
+        REQUEUE["flag"] = True
+
+
+def add_signal_handlers() -> None:
+    signal.signal(signal.SIGUSR1, _signal_handler)
+    signal.signal(signal.SIGTERM, _signal_handler)
+
+
+def linear_decay(epoch: int, total: int) -> float:
+    return 1.0 - (epoch / float(total))
+
+
+@registry.register_trainer(name="ddppo-waypoint")
+class DDPPOWaypointTrainer(BaseVLNCETrainer):
+    def __init__(self, config):
+        config = add_pano_sensors_to_config(config)
+        self._interrupted_state = None
+        requeue_path = config.RL.DDPPO.requeue_path
+        if config.RL.DDPPO.start_from_requeue and os.path.exists(requeue_path):
+            self._interrupted_state = load_checkpoint(requeue_path)
+        super().__init__(config)
+        self.agent: Optional[WDDPPO] = None
+
+    # ----------------------------------------------------------------- spaces
+    def _set_observation_space(self, envs) -> None:
+        """Transformed obs space + per-frame history spaces
+        (reference:73-100)."""
+        observation_space = envs.observation_spaces[0]
+        self.obs_transforms = get_active_obs_transforms(self.config)
+        observation_space = apply_obs_transforms_obs_space(observation_space, self.obs_transforms)
+        single_rgb = observation_space["rgb"]
+        single_depth = observation_space["depth"]
+        new = dict(observation_space.spaces)
+        new["rgb_history"] = spaces.Box(
+            low=0, high=255, shape=single_rgb.shape[1:], dtype=single_rgb.dtype
+        )
+        new["depth_history"] = spaces.Box(
+            low=0.0, high=1.0, shape=single_depth.shape[1:], dtype=single_depth.dtype
+        )
+        self.observation_space = spaces.Dict(new)
+
+    def _initialize_policy_rl(self, load_from_ckpt: bool, ckpt_path: str = "") -> None:
+        config = self.config
+        self.policy = WaypointPolicy.from_config(config, self.observation_space)
+        self.policy.init_params(self._next_rng(), batch_size=1)
+        if load_from_ckpt:
+            ckpt = load_checkpoint(ckpt_path)
+            self.policy.params = jax.tree_util.tree_map(jnp.asarray, ckpt["state_dict"])
+            logger.info(f"Loaded waypoint policy from {ckpt_path}")
+        mesh = None
+        try:
+            if len(jax.devices()) > 1:
+                mesh = mesh_from_config(config)
+        except Exception:
+            mesh = None
+        self.agent = WDDPPO(
+            self.policy,
+            config.RL.PPO,
+            mesh=mesh,
+            offset_regularize_coef=config.RL.PPO.offset_regularize_coef,
+            pano_entropy_coef=config.RL.PPO.pano_entropy_coef,
+            offset_entropy_coef=config.RL.PPO.offset_entropy_coef,
+            distance_entropy_coef=config.RL.PPO.distance_entropy_coef,
+        )
+        logger.info(f"Initialized WaypointPolicy: {self.policy.num_params()} params (mesh={'on' if mesh else 'off'})")
+
+    # ---------------------------------------------------------------- helpers
+    @staticmethod
+    def _extract_scalars_from_infos(infos: List[Dict]) -> Dict[str, List[float]]:
+        out = defaultdict(list)
+        for info in infos:
+            for k, v in info.items():
+                if np.isscalar(v) and not isinstance(v, str):
+                    out[k].append(float(v))
+        return out
+
+    def _prepare_batch(self, observations: List[Dict], obs_history: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        batch = apply_obs_transforms_batch(
+            {k: jnp.asarray(v) for k, v in stack_obs(observations).items()}, self.obs_transforms
+        )
+        batch = {k: np.asarray(v) for k, v in batch.items()}
+        batch["rgb_history"] = obs_history["rgb"]
+        batch["depth_history"] = obs_history["depth"]
+        return batch
+
+    # ------------------------------------------------------------------ train
+    def train(self) -> None:
+        config = self.config
+        add_signal_handlers()
+
+        self.envs = construct_envs(config, get_env_class(config.ENV_NAME))
+        N = self.envs.num_envs
+        self._set_observation_space(self.envs)
+        self._initialize_policy_rl(load_from_ckpt=False)
+
+        wypt_cfg = config.MODEL.WAYPOINT
+        ppo_cfg = config.RL.PPO
+        rollouts = ActionDictRolloutStorage(
+            ppo_cfg.num_steps, N, self.observation_space,
+            config.MODEL.STATE_ENCODER.hidden_size,
+            num_recurrent_layers=self.policy.num_recurrent_layers,
+            continuous_offset=wypt_cfg.continuous_offset,
+            continuous_distance=wypt_cfg.continuous_distance,
+        )
+
+        observations = self.envs.reset()
+        obs_history = {
+            "rgb": np.zeros_like(rollouts.observations["rgb_history"][0]),
+            "depth": np.zeros_like(rollouts.observations["depth_history"][0]),
+        }
+        batch = self._prepare_batch(observations, obs_history)
+        for k, v in batch.items():
+            rollouts.observations[k][0] = v
+
+        current_episode_reward = np.zeros((N, 1), np.float32)
+        running_episode_stats = {
+            "count": np.zeros((N, 1), np.float32),
+            "reward": np.zeros((N, 1), np.float32),
+        }
+        window_episode_stats = defaultdict(lambda: deque(maxlen=ppo_cfg.reward_window_size))
+
+        start_update = 0
+        count_steps = 0
+        if self._interrupted_state is not None:
+            self.policy.params = jax.tree_util.tree_map(jnp.asarray, self._interrupted_state["state_dict"])
+            extra = self._interrupted_state.get("extra_state") or {}
+            start_update = int(extra.get("update", 0))
+            count_steps = int(extra.get("count_steps", 0))
+            logger.info(f"Resumed from requeue state at update {start_update}")
+
+        rng_np = np.random.RandomState(config.TASK_CONFIG.SEED)
+        t_start = time.time()
+        pth_time = env_time = 0.0
+
+        os.makedirs(config.CHECKPOINT_FOLDER, exist_ok=True)
+        with TensorboardWriter(config.TENSORBOARD_DIR) as writer:
+            for update in range(start_update, config.RL.NUM_UPDATES):
+                if EXIT["flag"]:
+                    break
+                for _step in range(ppo_cfg.num_steps):
+                    d_pth, d_env = self._collect_rollout_step(
+                        rollouts, current_episode_reward, running_episode_stats, window_episode_stats
+                    )
+                    pth_time += d_pth
+                    env_time += d_env
+                    count_steps += N
+
+                t0 = time.time()
+                last_obs = {k: jnp.asarray(v[rollouts.step]) for k, v in rollouts.observations.items()}
+                last_prev = {k: jnp.asarray(v[rollouts.step]) for k, v in rollouts.prev_actions.items()}
+                next_value = self.policy.get_value(
+                    last_obs, jnp.asarray(rollouts.recurrent_hidden_states[rollouts.step]),
+                    last_prev, jnp.asarray(rollouts.masks[rollouts.step]),
+                )
+                rollouts.compute_returns(np.asarray(next_value), ppo_cfg.use_gae, ppo_cfg.gamma, ppo_cfg.tau)
+                stats = self.agent.update(rollouts, rng_np)
+                rollouts.after_update()
+                pth_time += time.time() - t0
+
+                if update % config.RL.LOG_INTERVAL == 0:
+                    fps = count_steps / max(time.time() - t_start, 1e-6)
+                    reward_mean = (
+                        np.sum([np.sum(x) for x in window_episode_stats["reward"]])
+                        / max(np.sum([np.sum(x) for x in window_episode_stats["count"]]), 1.0)
+                    )
+                    logger.info(
+                        f"update {update}\tfps {fps:.1f}\treward {reward_mean:.3f}\t"
+                        + "\t".join(f"{k} {v:.4f}" for k, v in stats.items())
+                    )
+                    writer.add_scalar("reward", reward_mean, count_steps)
+                    for k, v in stats.items():
+                        writer.add_scalar(f"losses/{k}", v, count_steps)
+
+                if update % config.RL.CHECKPOINT_INTERVAL == 0:
+                    self.save_rl_checkpoint(f"ckpt.{update // config.RL.CHECKPOINT_INTERVAL}.ckpt", update, count_steps)
+
+            if REQUEUE["flag"]:
+                self._save_interrupted_state(update, count_steps)
+
+        self.envs.close()
+
+    def save_rl_checkpoint(self, name: str, update: int, count_steps: int) -> None:
+        save_checkpoint(
+            os.path.join(self.config.CHECKPOINT_FOLDER, name),
+            self.policy.params, config=self.config,
+            optim_state=self.agent.optim_state,
+            extra_state={"update": update, "count_steps": count_steps},
+        )
+
+    def _save_interrupted_state(self, update: int, count_steps: int) -> None:
+        save_checkpoint(
+            self.config.RL.DDPPO.requeue_path,
+            self.policy.params, config=self.config,
+            optim_state=self.agent.optim_state,
+            extra_state={"update": update, "count_steps": count_steps},
+        )
+        logger.info("Saved interrupted state for requeue")
+
+    # --------------------------------------------------------- rollout step
+    def _collect_rollout_step(self, rollouts, current_episode_reward, running_episode_stats, window_episode_stats) -> Tuple[float, float]:
+        t0 = time.time()
+        N = self.envs.num_envs
+        step_obs = {k: jnp.asarray(v[rollouts.step]) for k, v in rollouts.observations.items()}
+        step_prev = {k: jnp.asarray(v[rollouts.step]) for k, v in rollouts.prev_actions.items()}
+        out = self.policy.act(
+            step_obs, jnp.asarray(rollouts.recurrent_hidden_states[rollouts.step]),
+            step_prev, jnp.asarray(rollouts.masks[rollouts.step]),
+            deterministic=False, rng=self._next_rng(),
+        )
+        actions = WaypointPolicy.actions_to_env(out)
+        pth_time = time.time() - t0
+
+        # history frame: the pano frame the agent moved toward (reference
+        # ddppo_waypoint_trainer.py:190-200); zeros on STOP
+        pano_np = np.asarray(out["action_elements"]["pano"]).astype(np.int64).reshape(-1)
+        stop_np = np.asarray(out["stop"]).reshape(-1)
+        rgb_np = rollouts.observations["rgb"][rollouts.step]
+        depth_np = rollouts.observations["depth"][rollouts.step]
+        obs_history = {
+            "rgb": np.zeros_like(rgb_np[:, 0]),
+            "depth": np.zeros_like(depth_np[:, 0]),
+        }
+        for i in range(N):
+            if not stop_np[i]:
+                idx = int(pano_np[i]) % rgb_np.shape[1]
+                obs_history["rgb"][i] = rgb_np[i, idx]
+                obs_history["depth"][i] = depth_np[i, idx]
+
+        t1 = time.time()
+        outputs = self.envs.step(actions)
+        observations, rewards, dones, infos = [list(x) for x in zip(*outputs)]
+        env_time = time.time() - t1
+
+        t2 = time.time()
+        batch = self._prepare_batch(observations, obs_history)
+        rewards_np = np.asarray(rewards, np.float32).reshape(N, 1)
+        masks_np = np.asarray([[0.0] if d else [1.0] for d in dones], np.float32)
+
+        current_episode_reward += rewards_np
+        done_mask = 1.0 - masks_np
+        running_episode_stats["reward"] += done_mask * current_episode_reward
+        running_episode_stats["count"] += done_mask
+        for k, v in self._extract_scalars_from_infos(infos).items():
+            if k not in running_episode_stats:
+                running_episode_stats[k] = np.zeros((N, 1), np.float32)
+            running_episode_stats[k] += done_mask * np.asarray(v, np.float32).reshape(N, 1)
+        current_episode_reward *= masks_np
+        for k, v in running_episode_stats.items():
+            window_episode_stats[k].append(v.copy())
+
+        rollouts.insert(
+            batch,
+            np.asarray(out["rnn_states"]),
+            {k: np.asarray(v) for k, v in out["action_elements"].items()},
+            np.asarray(out["action_log_probs"]),
+            np.asarray(out["value"]),
+            rewards_np,
+            masks_np,
+        )
+        pth_time += time.time() - t2
+        return pth_time, env_time
+
+    # ------------------------------------------------------------------ eval
+    def _eval_checkpoint(self, checkpoint_path: str, writer, checkpoint_index: int = 0) -> None:
+        """Waypoint eval loop: dict prev_actions + per-step pano history
+        (reference:710-986)."""
+        logger.info(f"checkpoint_path: {checkpoint_path}")
+        config = self.config.clone()
+        split = config.EVAL.SPLIT
+        config.defrost()
+        config.TASK_CONFIG.DATASET.SPLIT = split
+        config.TASK_CONFIG.TASK.NDTW.SPLIT = split
+        config.TASK_CONFIG.ENVIRONMENT.ITERATOR_OPTIONS.SHUFFLE = False
+        config.TASK_CONFIG.ENVIRONMENT.ITERATOR_OPTIONS.MAX_SCENE_REPEAT_STEPS = -1
+        config.freeze()
+
+        if config.EVAL.SAVE_RESULTS:
+            os.makedirs(config.RESULTS_DIR, exist_ok=True)
+            fname = os.path.join(config.RESULTS_DIR, f"stats_ckpt_{checkpoint_index}_{split}.json")
+            if os.path.exists(fname):
+                logger.info("skipping -- evaluation exists.")
+                return
+
+        envs = construct_envs_auto_reset_false(config, get_env_class(config.ENV_NAME))
+        self.envs = envs
+        N = envs.num_envs
+        self._set_observation_space(envs)
+        self._initialize_policy_rl(load_from_ckpt=os.path.exists(checkpoint_path), ckpt_path=checkpoint_path)
+
+        observations = envs.reset()
+        obs_history = {
+            "rgb": np.zeros((N,) + self.observation_space["rgb_history"].shape, self.observation_space["rgb_history"].dtype),
+            "depth": np.zeros((N,) + self.observation_space["depth_history"].shape, self.observation_space["depth_history"].dtype),
+        }
+        batch = self._prepare_batch(observations, obs_history)
+        rnn_states = self.policy.initial_rnn_states(N)
+        prev_actions = {k: jnp.zeros((N, 1), jnp.float32) for k in ("pano", "offset", "distance")}
+        not_done_masks = jnp.zeros((N, 1), jnp.float32)
+        active = [True] * N
+
+        stats_episodes: Dict[str, Dict] = {}
+        num_eps = sum(envs.number_of_episodes)
+        if config.EVAL.EPISODE_COUNT > -1:
+            num_eps = min(config.EVAL.EPISODE_COUNT, num_eps)
+
+        pbar = tqdm.tqdm(total=num_eps, desc=f"eval wpn ckpt {checkpoint_index}")
+        while any(active) and len(stats_episodes) < num_eps:
+            current_episodes = envs.current_episodes()
+            out = self.policy.act(
+                {k: jnp.asarray(v) for k, v in batch.items()},
+                rnn_states, prev_actions, not_done_masks,
+                deterministic=not config.EVAL.SAMPLE, rng=self._next_rng(),
+            )
+            rnn_states = out["rnn_states"]
+            prev_actions = {k: jnp.asarray(v) for k, v in out["action_elements"].items()}
+            actions = WaypointPolicy.actions_to_env(out)
+
+            pano_np = np.asarray(out["action_elements"]["pano"]).astype(np.int64).reshape(-1)
+            stop_np = np.asarray(out["stop"]).reshape(-1)
+            for i in range(N):
+                if not stop_np[i]:
+                    idx = int(pano_np[i]) % batch["rgb"].shape[1]
+                    obs_history["rgb"][i] = batch["rgb"][i, idx]
+                    obs_history["depth"][i] = batch["depth"][i, idx]
+                else:
+                    obs_history["rgb"][i] = 0
+                    obs_history["depth"][i] = 0
+
+            active_ids = [i for i in range(N) if active[i]]
+            stepped = envs.step_at(active_ids, [actions[i] for i in active_ids])
+            masks_np = np.ones((N, 1), np.float32)
+            new_obs = list(observations)
+            for i, (obs, _, done, info) in zip(active_ids, stepped):
+                new_obs[i] = obs
+                if done:
+                    ep_id = current_episodes[i].episode_id
+                    stats_episodes[ep_id] = {
+                        k: v for k, v in info.items() if np.isscalar(v) and not isinstance(v, str)
+                    }
+                    masks_np[i] = 0.0
+                    pbar.update()
+                    new_obs[i] = envs.reset_at(i)[0]
+                    obs_history["rgb"][i] = 0
+                    obs_history["depth"][i] = 0
+                    next_ep = envs.call_at(i, "current_episode")
+                    if next_ep.episode_id in stats_episodes:
+                        active[i] = False
+            observations = new_obs
+            batch = self._prepare_batch(observations, obs_history)
+            not_done_masks = jnp.asarray(masks_np)
+
+        envs.close()
+        pbar.close()
+
+        aggregated_stats = {}
+        if stats_episodes:
+            for k in next(iter(stats_episodes.values())).keys():
+                aggregated_stats[k] = float(np.mean([v[k] for v in stats_episodes.values()]))
+        if config.EVAL.SAVE_RESULTS and stats_episodes:
+            with open(fname, "w") as f:
+                json.dump(aggregated_stats, f, indent=4)
+        logger.info(f"Episodes evaluated: {len(stats_episodes)}")
+        for k, v in aggregated_stats.items():
+            logger.info(f"{k}: {v:.6f}")
+            writer.add_scalar(f"eval_{split}_{k}", v, checkpoint_index + 1)
+        return aggregated_stats
