@@ -219,6 +219,8 @@ _C.DATASET.SCENES_DIR = "data/scene_datasets/"
 _C.DATASET.CONTENT_SCENES = ["*"]
 _C.DATASET.DATA_PATH = "data/datasets/R2R_VLNCE_v1-3_preprocessed/{split}/{split}.json.gz"
 # extensions (reference habitat_extensions/config/default.py:133-137)
+_C.DATASET.NUM_EPISODES = 64  # synthetic dataset only
+_C.DATASET.NUM_SCENES = 4  # synthetic dataset only
 _C.DATASET.ROLES = ["guide"]  # options: "guide", "follower"
 _C.DATASET.LANGUAGES = ["*"]  # options: "te-IN", "hi-IN", "en-US", "en-IN"
 _C.DATASET.EPISODES_ALLOWED = ["*"]
