@@ -49,7 +49,7 @@ class CMANet(nn.Module):
         H = mc.STATE_ENCODER.hidden_size
 
         instruction_embedding = InstructionEncoder.from_config(
-            mc.INSTRUCTION_ENCODER, final_state_only=False
+            mc.INSTRUCTION_ENCODER, final_state_only=False, name="instruction_encoder"
         )(observations)  # [B', C_t, T_text]
 
         depth_embedding = VlnResnetDepthEncoder(

@@ -70,13 +70,13 @@ class GNBasicBlock(nn.Module):
         out_ch = self.planes * self.expansion
         residual = x
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2, padding=1, use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = nn.GroupNorm(num_groups=self.ngroups, name="gn1")(y).astype(self.dtype)
+        y = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, name="gn1")(y).astype(self.dtype)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = nn.GroupNorm(num_groups=self.ngroups, name="gn2")(y).astype(self.dtype)
+        y = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, name="gn2")(y).astype(self.dtype)
         if self.downsample:
             residual = nn.Conv(out_ch, (1, 1), strides=(self.stride,) * 2, use_bias=False, dtype=self.dtype, name="ds_conv")(x)
-            residual = nn.GroupNorm(num_groups=self.ngroups, name="ds_gn")(residual).astype(self.dtype)
+            residual = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, name="ds_gn")(residual).astype(self.dtype)
         return nn.relu(y + residual)
 
 
@@ -93,16 +93,16 @@ class GNBottleneck(nn.Module):
         out_ch = self.planes * self.expansion
         residual = x
         y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = nn.GroupNorm(num_groups=self.ngroups, name="gn1")(y).astype(self.dtype)
+        y = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, name="gn1")(y).astype(self.dtype)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2, padding=1, use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = nn.GroupNorm(num_groups=self.ngroups, name="gn2")(y).astype(self.dtype)
+        y = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, name="gn2")(y).astype(self.dtype)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
-        y = nn.GroupNorm(num_groups=self.ngroups, name="gn3")(y).astype(self.dtype)
+        y = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, name="gn3")(y).astype(self.dtype)
         if self.downsample:
             residual = nn.Conv(out_ch, (1, 1), strides=(self.stride,) * 2, use_bias=False, dtype=self.dtype, name="ds_conv")(x)
-            residual = nn.GroupNorm(num_groups=self.ngroups, name="ds_gn")(residual).astype(self.dtype)
+            residual = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, name="ds_gn")(residual).astype(self.dtype)
         return nn.relu(y + residual)
 
 
@@ -123,7 +123,7 @@ class GNResNet(nn.Module):
     def __call__(self, x):
         block_cls = GNBottleneck if self.block == "bottleneck" else GNBasicBlock
         x = nn.Conv(self.base_planes, (7, 7), strides=(2, 2), padding=3, use_bias=False, dtype=self.dtype, name="stem_conv")(x)
-        x = nn.GroupNorm(num_groups=self.ngroups, name="stem_gn")(x).astype(self.dtype)
+        x = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, name="stem_gn")(x).astype(self.dtype)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)
 
@@ -170,7 +170,7 @@ class GNResNetEncoder(nn.Module):
         )(x)
         num_c, _, _ = self.output_shape_chw()
         x = nn.Conv(num_c, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="compression_conv")(x)
-        x = nn.GroupNorm(num_groups=1, name="compression_gn")(x).astype(self.dtype)
+        x = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="compression_gn")(x).astype(self.dtype)
         return nn.relu(x)
 
 

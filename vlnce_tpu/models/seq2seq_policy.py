@@ -45,7 +45,7 @@ class Seq2SeqNet(nn.Module):
     @nn.compact
     def __call__(self, observations, rnn_states, prev_actions, masks, seq_len: Optional[int] = None):
         mc = self.model_config
-        instruction_embedding = InstructionEncoder.from_config(mc.INSTRUCTION_ENCODER)(observations)
+        instruction_embedding = InstructionEncoder.from_config(mc.INSTRUCTION_ENCODER, name="instruction_encoder")(observations)
         depth_embedding = VlnResnetDepthEncoder(
             input_hw=self.depth_input_hw,
             output_size=mc.DEPTH_ENCODER.output_size,

@@ -79,7 +79,7 @@ class WaypointPredictionNet(nn.Module):
         B = observations["rgb"].shape[0]
 
         instruction_embedding = InstructionEncoder.from_config(
-            mc.INSTRUCTION_ENCODER, final_state_only=False
+            mc.INSTRUCTION_ENCODER, final_state_only=False, name="instruction_encoder"
         )(observations)  # [B, C_t, T]
 
         # -- pano + history frames through the frozen CNNs ------------------
