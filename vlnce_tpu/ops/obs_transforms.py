@@ -41,10 +41,20 @@ def center_crop(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
 
 
 def resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
-    """[..., H, W, C] bilinear resize (device-side)."""
-    out_shape = x.shape[:-3] + (hw[0], hw[1], x.shape[-1])
+    """[..., H, W, C] bilinear resize (device-side).
+
+    Uses 2-tap interpolation matrices (einsum -> MXU) matching cv2/torch
+    bilinear semantics — NOT jax.image.resize, whose antialiased downscale
+    differs numerically from the reference's cv2-based transforms.
+    """
+    from vlnce_tpu.ops.pallas_preprocess import _bilinear_matrix
+
+    H, W = x.shape[-3], x.shape[-2]
+    rh = jnp.asarray(_bilinear_matrix(H, hw[0]))
+    rw = jnp.asarray(_bilinear_matrix(W, hw[1]))
     orig_dtype = x.dtype
-    y = jax.image.resize(x.astype(jnp.float32), out_shape, method="bilinear")
+    y = jnp.einsum("oh,...hwc->...owc", rh, x.astype(jnp.float32))
+    y = jnp.einsum("pw,...owc->...opc", rw, y)
     if jnp.issubdtype(orig_dtype, jnp.integer):
         y = jnp.clip(jnp.round(y), 0, 255).astype(orig_dtype)
     return y
