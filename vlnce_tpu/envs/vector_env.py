@@ -21,6 +21,7 @@ see vlnce_tpu/envs/shm_transport.py.
 from __future__ import annotations
 
 import multiprocessing as mp
+import os
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -35,9 +36,22 @@ NUM_EPISODES = "num_episodes"
 SPACES = "spaces"
 GET_METRICS = "get_metrics"
 EPISODE_OVER = "episode_over"
+ATTACH_SHM = "attach_shm"
 
 
 def _worker(conn, env_fn: Callable, env_fn_args: Tuple, auto_reset_done: bool) -> None:
+    ring = None
+    slot = 0
+    seq = 0
+
+    def send_obs(obs):
+        nonlocal seq
+        if ring is None:
+            return obs
+        seq += 1
+        rest = ring.write_obs(slot, obs, seq)
+        return ("__shm__", seq, rest)
+
     try:
         env = env_fn(*env_fn_args)
         while True:
@@ -46,11 +60,21 @@ def _worker(conn, env_fn: Callable, env_fn_args: Tuple, auto_reset_done: bool) -
                 obs, reward, done, info = env.step(data)
                 if done and auto_reset_done:
                     obs = env.reset()
-                conn.send((obs, reward, done, info))
+                conn.send((send_obs(obs), reward, done, info))
             elif cmd == RESET:
-                conn.send(env.reset())
+                conn.send(send_obs(env.reset()))
             elif cmd == RESET_AT:
-                conn.send(env.reset())
+                conn.send(send_obs(env.reset()))
+            elif cmd == ATTACH_SHM:
+                from vlnce_tpu.envs.shm_transport import ObsRing, ObsSchema
+
+                name, n_slots, slot, template = data
+                schema = ObsSchema.__new__(ObsSchema)
+                schema.fields = template["fields"]
+                schema.slot_bytes = template["slot_bytes"]
+                ring = ObsRing(name, n_slots, schema, create=False)
+                seq = 0
+                conn.send(True)
             elif cmd == EPISODE:
                 conn.send(env.current_episode)
             elif cmd == NUM_EPISODES:
@@ -82,12 +106,14 @@ class VectorEnv:
         env_fn_args: Sequence[Tuple],
         auto_reset_done: bool = True,
         multiprocessing_start_method: str = "fork",
+        use_shm: Optional[bool] = None,
     ):
         self._auto_reset_done = auto_reset_done
         self._mp_ctx = mp.get_context(multiprocessing_start_method)
         self._workers: List[Any] = []
         self._conns: List[Any] = []
         self._paused: List[Tuple[int, Any, Any]] = []  # (original_index, conn, proc)
+        self._slot_of_conn: List[int] = list(range(len(env_fn_args)))
         for args in env_fn_args:
             parent, child = self._mp_ctx.Pipe()
             proc = self._mp_ctx.Process(
@@ -98,6 +124,47 @@ class VectorEnv:
             self._workers.append(proc)
             self._conns.append(parent)
         self._is_closed = False
+        if use_shm is None:
+            use_shm = os.environ.get("VLNCE_TPU_SHM_OBS", "1") == "1"
+        self._want_shm = use_shm
+        self._ring = None
+        self._ring_seq = [0] * len(env_fn_args)
+
+    # -- shm transport -------------------------------------------------------
+    def _maybe_enable_shm(self, template_obs) -> None:
+        if not self._want_shm or self._ring is not None:
+            return
+        from vlnce_tpu.envs import shm_transport
+
+        if not shm_transport.native_available():
+            self._want_shm = False
+            return
+        schema = shm_transport.ObsSchema(template_obs)
+        if not schema.fields:
+            self._want_shm = False
+            return
+        name = f"/vlnce_ring_{os.getpid()}_{id(self) & 0xFFFF}"
+        n = len(self._conns) + len(self._paused)
+        self._ring = shm_transport.ObsRing(name, n, schema, create=True)
+        template = {"fields": schema.fields, "slot_bytes": schema.slot_bytes}
+        for conn, slot in zip(self._conns, self._slot_of_conn):
+            conn.send((ATTACH_SHM, (name, n, slot, template)))
+        for conn in self._conns:
+            conn.recv()
+
+    def _resolve_obs(self, conn_index: int, payload):
+        """Worker obs payload -> obs dict (gathers shm sensors if tagged)."""
+        if not (isinstance(payload, tuple) and len(payload) == 3 and payload[0] == "__shm__"):
+            return payload
+        _, seq, rest = payload
+        slot = self._slot_of_conn[conn_index]
+        self._ring_seq[slot] = seq
+        self._ring.wait([slot], seq)
+        gathered = self._ring.gather([slot])
+        obs = dict(rest)
+        for k, v in gathered.items():
+            obs[k] = v[0]
+        return obs
 
     # -- bookkeeping ---------------------------------------------------------
     @property
@@ -112,21 +179,32 @@ class VectorEnv:
 
     # -- core API ------------------------------------------------------------
     def reset(self) -> List[Dict]:
-        return self._all(RESET)
+        results = [self._resolve_obs(i, r) for i, r in enumerate(self._all(RESET))]
+        if self._ring is None and results:
+            self._maybe_enable_shm(results[0])
+        return results
 
     def step(self, actions: Sequence[Any]) -> List[Tuple]:
-        return self._all(STEP, list(actions))
+        out = self._all(STEP, list(actions))
+        return [
+            (self._resolve_obs(i, obs), reward, done, info)
+            for i, (obs, reward, done, info) in enumerate(out)
+        ]
 
     def reset_at(self, index: int) -> List[Dict]:
         self._conns[index].send((RESET_AT, None))
-        return [self._conns[index].recv()]
+        return [self._resolve_obs(index, self._conns[index].recv())]
 
     def step_at(self, indices: Sequence[int], actions: Sequence[Any]) -> List[Tuple]:
         """Pipelined step of a subset of envs: all sends first, then all
         receives (keeps sim workers busy concurrently)."""
         for i, a in zip(indices, actions):
             self._conns[i].send((STEP, a))
-        return [self._conns[i].recv() for i in indices]
+        out = []
+        for i in indices:
+            obs, reward, done, info = self._conns[i].recv()
+            out.append((self._resolve_obs(i, obs), reward, done, info))
+        return out
 
     def current_episodes(self) -> List[Any]:
         return self._all(EPISODE)
@@ -163,28 +241,33 @@ class VectorEnv:
         """Remove env `index` from the active set (its process stays alive)."""
         conn = self._conns.pop(index)
         proc = self._workers.pop(index)
-        self._paused.append((index, conn, proc))
+        slot = self._slot_of_conn.pop(index)
+        self._paused.append((index, conn, proc, slot))
 
     def resume_all(self) -> None:
-        for index, conn, proc in reversed(self._paused):
+        for index, conn, proc, slot in reversed(self._paused):
             self._conns.insert(index, conn)
             self._workers.insert(index, proc)
+            self._slot_of_conn.insert(index, slot)
         self._paused = []
 
     def close(self) -> None:
         if self._is_closed:
             return
-        for conn in self._conns + [c for _, c, _ in self._paused]:
+        for conn in self._conns + [p[1] for p in self._paused]:
             try:
                 conn.send((CLOSE, None))
             except (BrokenPipeError, OSError):
                 pass
-        for conn in self._conns + [c for _, c, _ in self._paused]:
+        for conn in self._conns + [p[1] for p in self._paused]:
             try:
                 conn.recv()
             except (EOFError, OSError):
                 pass
-        for proc in self._workers + [p for _, _, p in self._paused]:
+        if self._ring is not None:
+            self._ring.close()
+            self._ring = None
+        for proc in self._workers + [p[2] for p in self._paused]:
             proc.join(timeout=5)
             if proc.is_alive():
                 proc.terminate()
