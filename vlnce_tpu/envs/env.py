@@ -21,14 +21,27 @@ from vlnce_tpu.tasks.task import VLNTask
 
 
 class EpisodeIterator:
+    """Episode cycling with habitat's iterator options: CYCLE, SHUFFLE,
+    GROUP_BY_SCENE, NUM_EPISODE_SAMPLE, MAX_SCENE_REPEAT_EPISODES and
+    MAX_SCENE_REPEAT_STEPS (scene rotation once a scene has been played too
+    long, to decorrelate scene exposure during collection)."""
+
     def __init__(self, episodes: List, options, seed: int = 0):
         self.episodes = list(episodes)
         self.cycle = bool(getattr(options, "CYCLE", True))
         self.shuffle = bool(getattr(options, "SHUFFLE", True))
         self.group_by_scene = bool(getattr(options, "GROUP_BY_SCENE", True))
+        self.max_scene_repeat_episodes = int(getattr(options, "MAX_SCENE_REPEAT_EPISODES", -1))
+        self.max_scene_repeat_steps = int(getattr(options, "MAX_SCENE_REPEAT_STEPS", -1))
+        num_sample = int(getattr(options, "NUM_EPISODE_SAMPLE", -1))
         self._rng = random.Random(seed)
+        if 0 < num_sample < len(self.episodes):
+            self.episodes = self._rng.sample(self.episodes, num_sample)
         self._order = list(range(len(self.episodes)))
         self._idx = 0
+        self._scene_eps = 0
+        self._scene_steps = 0
+        self._current_scene = None
         self._prepare()
 
     def _prepare(self) -> None:
@@ -36,6 +49,26 @@ class EpisodeIterator:
             self._rng.shuffle(self._order)
         if self.group_by_scene:
             self._order.sort(key=lambda i: self.episodes[i].scene_id)
+
+    def step_taken(self) -> None:
+        self._scene_steps += 1
+
+    def _should_rotate_scene(self) -> bool:
+        if self._current_scene is None:
+            return False
+        if 0 < self.max_scene_repeat_episodes <= self._scene_eps:
+            return True
+        if 0 < self.max_scene_repeat_steps <= self._scene_steps:
+            return True
+        return False
+
+    def _rotate_scene(self) -> None:
+        """Move the remaining episodes of the current scene to the back."""
+        remaining = self._order[self._idx:]
+        same = [i for i in remaining if self.episodes[i].scene_id == self._current_scene]
+        other = [i for i in remaining if self.episodes[i].scene_id != self._current_scene]
+        if other:
+            self._order = self._order[: self._idx] + other + same
 
     def __iter__(self) -> "EpisodeIterator":
         return self
@@ -46,8 +79,17 @@ class EpisodeIterator:
                 raise StopIteration
             self._idx = 0
             self._prepare()
+        if self.group_by_scene and self._should_rotate_scene():
+            self._rotate_scene()
+            self._scene_eps = 0
+            self._scene_steps = 0
         ep = self.episodes[self._order[self._idx]]
         self._idx += 1
+        if ep.scene_id != self._current_scene:
+            self._current_scene = ep.scene_id
+            self._scene_eps = 0
+            self._scene_steps = 0
+        self._scene_eps += 1
         return ep
 
 
@@ -129,6 +171,7 @@ class Env:
         assert not self._episode_over, "episode over; call reset()"
         obs = self.task.step(action, self.current_episode)
         self._elapsed_steps += 1
+        self._episode_iterator.step_taken()
         if self.task.is_stop_called or self._elapsed_steps >= self._max_episode_steps:
             self._episode_over = True
         return obs
@@ -144,3 +187,4 @@ class Env:
 # lazy package __init__ can't recurse)
 from vlnce_tpu.envs import gridworld as _gridworld  # noqa: E402,F401
 from vlnce_tpu.envs import replay_sim as _replay_sim  # noqa: E402,F401
+from vlnce_tpu.envs import habitat_adapter as _habitat_adapter  # noqa: E402,F401  (registers only if habitat_sim present)

@@ -286,6 +286,31 @@ def convert_waypoint_state_dict(sd: Dict[str, Any], params: Dict) -> None:
     convert_rgb_encoder(sd, params, "net.rgb_encoder.", "rgb_encoder")
 
 
+def load_pretrained_embeddings(embedding_file: str) -> Optional[np.ndarray]:
+    """Load the GloVe-style instruction embedding table
+    (embeddings.json.gz: JSON [vocab, dim] floats; PAD row 0 zeros, UNK row 1
+    mean — reference instruction_encoder.py:51-61)."""
+    import gzip
+    import json
+    import os
+
+    if not os.path.exists(embedding_file):
+        return None
+    with gzip.open(embedding_file, "rt") as f:
+        return np.asarray(json.load(f), dtype=np.float32)
+
+
+def apply_pretrained_embeddings(params, embedding_file: str, path: str = "net/instruction_encoder/embedding"):
+    """Overwrite the instruction embedding table if the file exists; returns
+    (params, loaded: bool)."""
+    table = load_pretrained_embeddings(embedding_file)
+    if table is None:
+        return params, False
+    params = _to_mutable(jax.tree_util.tree_map(np.asarray, dict(params)))
+    _set(params, path, jnp.asarray(table))
+    return jax.tree_util.tree_map(jnp.asarray, params), True
+
+
 def convert_ddppo_depth_checkpoint(ckpt: Dict[str, Any], params, out_prefix: str = "net/depth_encoder/visual_encoder"):
     """Load DDPPO PointGoal weights into the depth encoder: the reference
     remaps actor_critic.net.visual_encoder.* keys (resnet_encoders.py:48-61)."""

@@ -384,6 +384,10 @@ class TopDownMapVLNCE(Measure):
         start = self._sim.get_agent_state()
         self._agent_path = [list(start.position)]
         self._map = map_utils.make_top_down_map(self._sim, self._config)
+        self._fog_mask = None
+        scene = getattr(self._sim, "_scene", None)
+        if self._config.FOG_OF_WAR.DRAW and scene is not None:
+            self._fog_mask = np.zeros_like(scene.occupancy, dtype=np.uint8)
         self.update_metric(episode=episode)
 
     def update_metric(self, *args: Any, episode=None, **kwargs: Any) -> None:
@@ -392,14 +396,21 @@ class TopDownMapVLNCE(Measure):
         self._step_count += 1
         state = self._sim.get_agent_state()
         self._agent_path.append(list(state.position))
+        heading = map_utils.agent_heading(state)
+        if self._fog_mask is not None:
+            map_utils.reveal_fog_of_war(
+                self._sim._scene.occupancy, self._fog_mask, state.position, heading,
+                fov_deg=float(self._config.FOG_OF_WAR.FOV),
+                visibility_dist=float(self._config.FOG_OF_WAR.VISIBILITY_DIST),
+            )
         self._metric = {
             "map": self._map,
             "agent_path": self._agent_path,
             "reference_path": self._episode.reference_path,
             "agent_position": list(state.position),
-            "agent_heading": map_utils.agent_heading(state),
+            "agent_heading": heading,
             "step_count": self._step_count,
-            "fog_of_war_mask": None,
+            "fog_of_war_mask": self._fog_mask,
         }
 
 

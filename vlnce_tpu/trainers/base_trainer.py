@@ -78,6 +78,26 @@ class BaseVLNCETrainer:
         self.policy = policy_cls.from_config(config, observation_space, action_space)
         self.policy.init_params(self._next_rng(), batch_size=1)
 
+        ie = config.MODEL.INSTRUCTION_ENCODER
+        if ie.use_pretrained_embeddings and ie.sensor_uuid == "instruction":
+            from vlnce_tpu.models.convert import apply_pretrained_embeddings
+
+            self.policy.params, loaded = apply_pretrained_embeddings(self.policy.params, ie.embedding_file)
+            if loaded:
+                logger.info(f"Loaded pretrained instruction embeddings from {ie.embedding_file}")
+
+        # load DDPPO PointGoal depth weights when the checkpoint is on disk
+        ddppo_ckpt = config.MODEL.DEPTH_ENCODER.ddppo_checkpoint
+        if ddppo_ckpt not in ("", "NONE") and os.path.exists(ddppo_ckpt):
+            import torch
+
+            from vlnce_tpu.models.convert import convert_ddppo_depth_checkpoint
+
+            self.policy.params = convert_ddppo_depth_checkpoint(
+                torch.load(ddppo_ckpt, map_location="cpu"), self.policy.params
+            )
+            logger.info(f"Loaded DDPPO depth encoder weights from {ddppo_ckpt}")
+
         self.optimizer = optax.adam(config.IL.lr)
         self.optim_state = self.optimizer.init(self.policy.params)
 
@@ -91,9 +111,19 @@ class BaseVLNCETrainer:
                     ckpt["state_dict"], self.policy.params, config.MODEL.policy_name
                 )
             else:
-                self.policy.params = jax.tree_util.tree_map(
-                    jnp.asarray, ckpt["state_dict"]
-                )
+                loaded = jax.tree_util.tree_map(jnp.asarray, ckpt["state_dict"])
+                init_struct = jax.tree_util.tree_structure(self.policy.params)
+                loaded_struct = jax.tree_util.tree_structure(loaded)
+                if init_struct != loaded_struct:
+                    init_keys = set(str(p) for p, _ in jax.tree_util.tree_flatten_with_path(self.policy.params)[0])
+                    ckpt_keys = set(str(p) for p, _ in jax.tree_util.tree_flatten_with_path(loaded)[0])
+                    raise ValueError(
+                        f"checkpoint param tree does not match the policy "
+                        f"({config.MODEL.policy_name}).\n  missing in ckpt: "
+                        f"{sorted(init_keys - ckpt_keys)[:5]}\n  unexpected in ckpt: "
+                        f"{sorted(ckpt_keys - init_keys)[:5]}"
+                    )
+                self.policy.params = loaded
             if config.IL.is_requeue and "optim_state" in ckpt:
                 from flax import serialization
 

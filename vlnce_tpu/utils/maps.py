@@ -85,9 +85,58 @@ def draw_agent(img: np.ndarray, pos: Sequence[float], heading: float, color=MAP_
     return img
 
 
+def reveal_fog_of_war(
+    occupancy: np.ndarray,
+    fog_mask: np.ndarray,
+    position,
+    heading: float,
+    fov_deg: float = 90.0,
+    visibility_dist: float = 5.0,
+    world_size: float = 16.0,
+    num_rays: int = 90,
+) -> np.ndarray:
+    """Reveal the agent's view cone in the fog mask with occlusion raycasts
+    over the scene occupancy grid (habitat fog_of_war equivalent used by
+    TopDownMapVLNCE, reference measures.py:116-119 config)."""
+    n = occupancy.shape[0]
+    cell = world_size / n
+    fog = fog_mask
+    half = math.radians(fov_deg) / 2.0
+    ci = position[0] / cell
+    cj = position[-1] / cell
+    max_steps = int(visibility_dist / (0.5 * cell))
+    for ang in np.linspace(heading - half, heading + half, num_rays):
+        dx = -math.sin(ang) / 2.0  # half-cell steps along the view ray
+        dz = -math.cos(ang) / 2.0
+        x, z = ci, cj
+        for _ in range(max_steps):
+            i, j = int(x), int(z)
+            if not (0 <= i < n and 0 <= j < n):
+                break
+            fog[i, j] = 1
+            if occupancy[i, j]:
+                break
+            x += dx
+            z += dz
+    return fog
+
+
+def apply_fog_of_war(map_img: np.ndarray, fog_mask: np.ndarray, dim: float = 0.5) -> np.ndarray:
+    """Darken unexplored regions of a rendered top-down map."""
+    import cv2
+
+    res = map_img.shape[0]
+    mask = cv2.resize(fog_mask.astype(np.uint8), (res, res), interpolation=cv2.INTER_NEAREST)
+    out = map_img.astype(np.float32)
+    out[mask == 0] *= dim
+    return out.astype(np.uint8)
+
+
 def colorize_topdown_metric(metric: dict, world_size: float = 16.0) -> np.ndarray:
     """Render the TopDownMapVLNCE metric dict into a frame."""
     img = metric["map"].copy()
+    if metric.get("fog_of_war_mask") is not None:
+        img = apply_fog_of_war(img, metric["fog_of_war_mask"])
     if metric.get("reference_path"):
         draw_path(img, metric["reference_path"], MAP_REFERENCE_POINT, world_size=world_size)
     if metric.get("agent_path"):

@@ -48,6 +48,79 @@ def observations_to_image(observation: Dict, info: Dict, frame_height: int = 224
     return np.concatenate(scaled, axis=1)
 
 
+def pano_observations_to_image(observation: Dict, info: Dict, tile_height: int = 112) -> np.ndarray:
+    """All pano frames tiled in one strip (+ depth strip + map); reference
+    utils.py:112-214."""
+    import cv2
+
+    rgb = np.asarray(observation["rgb"])  # [P, H, W, 3]
+    depth = np.asarray(observation.get("depth")) if "depth" in observation else None
+    P = rgb.shape[0]
+    scale = tile_height / rgb.shape[1]
+    tiles = [cv2.resize(rgb[i], (int(rgb.shape[2] * scale), tile_height)) for i in range(P)]
+    strip = np.concatenate(tiles, axis=1)
+    rows = [strip]
+    if depth is not None:
+        d_tiles = [
+            cv2.resize(_depth_to_rgb(depth[i]), (tiles[0].shape[1], tile_height)) for i in range(P)
+        ]
+        rows.append(np.concatenate(d_tiles, axis=1))
+    frame = np.concatenate(rows, axis=0)
+    if "top_down_map_vlnce" in (info or {}):
+        from vlnce_tpu.utils.maps import colorize_topdown_metric
+
+        m = colorize_topdown_metric(info["top_down_map_vlnce"])
+        mh = frame.shape[0]
+        m = cv2.resize(m, (int(m.shape[1] * mh / m.shape[0]), mh))
+        frame = np.concatenate([frame, m], axis=1)
+    return frame
+
+
+def waypoint_observations_to_image(
+    observation: Dict,
+    info: Dict,
+    pano: Optional[int] = None,
+    agent_position=None,
+    agent_heading: Optional[float] = None,
+    r: Optional[float] = None,
+    theta: Optional[float] = None,
+    tile_height: int = 112,
+) -> np.ndarray:
+    """Pano strip with the selected pano highlighted and the predicted
+    waypoint drawn on the map (reference utils.py:380-543)."""
+    import cv2
+
+    frame = pano_observations_to_image(observation, {}, tile_height=tile_height)
+    rgb = np.asarray(observation["rgb"])
+    P = rgb.shape[0]
+    tile_w = frame.shape[1] // P if P else frame.shape[1]
+    if pano is not None and P:
+        x0 = int(pano) * tile_w
+        cv2.rectangle(frame, (x0, 0), (x0 + tile_w - 1, tile_height - 1), (255, 140, 0), 3)
+    if "top_down_map_vlnce" in (info or {}):
+        from vlnce_tpu.utils import maps as map_utils
+        from vlnce_tpu.tasks.geometry import rtheta_to_global_coordinates
+
+        m = map_utils.colorize_topdown_metric(info["top_down_map_vlnce"])
+        if agent_position is not None and r is not None and theta is not None:
+            target = rtheta_to_global_coordinates(agent_position, agent_heading or 0.0, r, theta, dimensionality=3)
+            map_utils.draw_point(m, target, map_utils.MAP_WAYPOINT_PREDICTION, radius=6)
+        mh = frame.shape[0]
+        m = cv2.resize(m, (int(m.shape[1] * mh / m.shape[0]), mh))
+        frame = np.concatenate([frame, m], axis=1)
+    return frame
+
+
+def navigator_video_frame(observation: Dict, info: Dict, instruction_text: str = "", plan_step: str = "") -> np.ndarray:
+    """Frame for the discretized-navigator eval video (reference
+    utils.py:546-637): first-person view + map + instruction + plan state."""
+    frame = observations_to_image(observation, info)
+    text = instruction_text
+    if plan_step:
+        text = f"[{plan_step}] {text}"
+    return append_text_to_image(frame, text)
+
+
 def append_text_to_image(image: np.ndarray, text: str, font_size: float = 0.5) -> np.ndarray:
     """Underlay of wrapped instruction text (reference utils.py:217-280)."""
     import cv2
