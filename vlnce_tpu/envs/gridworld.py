@@ -329,30 +329,31 @@ class GridWorldSim(Simulator):
         if rotation is not None:
             self._heading = heading_from_quaternion(np.asarray(rotation, dtype=np.float64))
         obs: Observations = {}
+        # batch the raycast across ALL cameras of the same spec (a 12-pano
+        # rig casts one 12*W-wide DDA instead of 12 separate loops)
+        groups: Dict[Tuple[int, int, float, str], List[Tuple[str, float]]] = {}
         for uuid, h, w, hfov, orient_y, kind in self._cameras:
-            obs[uuid] = self._render_camera(h, w, hfov, orient_y, kind)
+            groups.setdefault((h, w, hfov, kind), []).append((uuid, orient_y))
+        for (h, w, hfov, kind), members in groups.items():
+            frames = self._render_cameras(h, w, hfov, [oy for _, oy in members], kind)
+            for (uuid, _), frame in zip(members, frames):
+                obs[uuid] = frame
         if not keep_agent_at_new_pose and (position is not None or rotation is not None):
             self._position, self._heading = old_pos, old_heading
         return obs
 
-    def _render_camera(self, h: int, w: int, hfov_deg: float, orient_y: float, kind: str) -> np.ndarray:
-        """Vectorized 2.5D raycast (DDA over the occupancy grid)."""
-        heading = (self._heading + orient_y) % (2 * math.pi)
-        half_fov = math.radians(hfov_deg) / 2.0
-        # pinhole ray angles across image columns
-        xs = np.tan(np.linspace(-half_fov, half_fov, w))
-        ray_angles = heading - np.arctan(xs)  # leftmost column = leftmost ray
+    def _raycast(self, ray_angles: np.ndarray, max_t: float):
+        """One DDA over the occupancy grid for a flat batch of ray angles."""
+        n = len(ray_angles)
         dx = -np.sin(ray_angles)
         dz = -np.cos(ray_angles)
         ox, oz = self._position[0], self._position[2]
         occ = self._scene.occupancy
-
-        t = np.zeros(w)
-        hit = np.zeros(w, dtype=bool)
-        hit_cell = np.zeros((w, 2), dtype=np.int32)
+        t = np.zeros(n)
+        hit = np.zeros(n, dtype=bool)
+        hit_cell = np.zeros((n, 2), dtype=np.int32)
         step = 0.6 * _RES
-        max_t = float(self._max_depth) if kind == "depth" else 1.5 * _WORLD_SIZE
-        cur = np.full(w, step)
+        cur = np.full(n, step)
         for _ in range(int(max_t / step)):
             live = ~hit & (cur < max_t)
             if not live.any():
@@ -369,6 +370,28 @@ class GridWorldSim(Simulator):
             hit_cell[newly, 1] = cj[newly]
             cur = np.where(live & ~hit, cur + step, cur)
         t[~hit] = max_t
+        return t, hit, hit_cell
+
+    def _render_cameras(self, h: int, w: int, hfov_deg: float, orientations: List[float], kind: str) -> List[np.ndarray]:
+        """Vectorized 2.5D raycast for a batch of same-spec cameras."""
+        half_fov = math.radians(hfov_deg) / 2.0
+        xs = np.tan(np.linspace(-half_fov, half_fov, w))
+        col_angles = -np.arctan(xs)  # leftmost column = leftmost ray
+        K = len(orientations)
+        headings = np.array([(self._heading + oy) % (2 * math.pi) for oy in orientations])
+        ray_angles = (headings[:, None] + col_angles[None, :]).reshape(-1)  # [K*w]
+
+        max_t = float(self._max_depth) if kind == "depth" else 1.5 * _WORLD_SIZE
+        t_all, hit_all, cell_all = self._raycast(ray_angles, max_t)
+        frames = []
+        for k in range(K):
+            sl = slice(k * w, (k + 1) * w)
+            frames.append(
+                self._shade(h, w, half_fov, xs, t_all[sl], hit_all[sl], cell_all[sl], kind, max_t)
+            )
+        return frames
+
+    def _shade(self, h, w, half_fov, xs, t, hit, hit_cell, kind, max_t) -> np.ndarray:
         # perpendicular distance to avoid fisheye
         perp = t * np.cos(np.arctan(xs))
 
