@@ -1,0 +1,124 @@
+"""Trainer integration tests: mini DAgger train -> eval, waypoint PPO update.
+
+Tiny encoders/images keep CPU compile time bounded; these guard the full
+collection -> store -> jitted-update -> checkpoint -> eval pipeline.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+import vlnce_tpu.tasks  # noqa: F401
+import vlnce_tpu.models  # noqa: F401
+import vlnce_tpu.trainers  # noqa: F401
+from vlnce_tpu.config import get_config
+from vlnce_tpu.envs import ensure_registered
+from vlnce_tpu.envs import rl_envs  # noqa: F401
+from vlnce_tpu.registry import registry
+
+ensure_registered()
+
+IMG = 16
+
+
+def base_opts(tmp, extra=None):
+    opts = [
+        "BASE_TASK_CONFIG_PATH", "vlnce_tpu/tasks/config/vlnce_task.yaml",
+        "TASK_CONFIG.DATASET.TYPE", "Synthetic-VLN-v0",
+        "TASK_CONFIG.DATASET.NUM_EPISODES", 6,
+        "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", 6,
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT", IMG,
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH", IMG,
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT", IMG,
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH", IMG,
+        "NUM_ENVIRONMENTS", 2,
+        "TENSORBOARD_DIR", "",
+        "CHECKPOINT_FOLDER", f"{tmp}/ckpts",
+        "EVAL_CKPT_PATH_DIR", f"{tmp}/ckpts",
+        "RESULTS_DIR", f"{tmp}/evals",
+        "MODEL.DEPTH_ENCODER.backbone", "resnet18",
+        "MODEL.RGB_ENCODER.cnn_type", "TorchVisionResNet18",
+        "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", False,
+        "MODEL.INSTRUCTION_ENCODER.vocab_size", 64,
+        "IL.epochs", 1,
+        "IL.batch_size", 2,
+        "IL.DAGGER.iterations", 1,
+        "IL.DAGGER.update_size", 4,
+        "IL.DAGGER.p", 1.0,
+        "IL.DAGGER.lmdb_features_dir", f"{tmp}/traj",
+        "EVAL.EPISODE_COUNT", 2,
+        "EVAL.SPLIT", "val_unseen",
+        "EVAL.USE_CKPT_CONFIG", False,
+    ]
+    return opts + (extra or [])
+
+
+@pytest.fixture(autouse=True)
+def threaded_envs(monkeypatch):
+    monkeypatch.setenv("VLNCE_TPU_THREADED_ENVS", "1")
+
+
+def test_dagger_train_then_eval(tmp_path):
+    tmp = str(tmp_path)
+    cfg = get_config(opts=base_opts(tmp))
+    trainer = registry.get_trainer("dagger")(cfg)
+    trainer.train()
+    ckpts = sorted(os.listdir(f"{tmp}/ckpts"))
+    assert ckpts == ["ckpt.0.ckpt"]
+
+    eval_cfg = get_config(opts=base_opts(tmp, ["EVAL_CKPT_PATH_DIR", f"{tmp}/ckpts/ckpt.0.ckpt"]))
+    trainer2 = registry.get_trainer("dagger")(eval_cfg)
+    stats = trainer2._eval_checkpoint(f"{tmp}/ckpts/ckpt.0.ckpt", _NullWriter(), 0)
+    assert "success" in stats and "ndtw" in stats
+    assert os.path.exists(f"{tmp}/evals/stats_ckpt_0_val_unseen.json")
+
+
+def test_waypoint_trainer_updates(tmp_path):
+    tmp = str(tmp_path)
+    opts = [
+        "BASE_TASK_CONFIG_PATH", "vlnce_tpu/tasks/config/vlnce_waypoint_task.yaml",
+        "TRAINER_NAME", "ddppo-waypoint",
+        "ENV_NAME", "VLNCEWaypointEnv",
+        "TASK_CONFIG.DATASET.TYPE", "Synthetic-VLN-v0",
+        "TASK_CONFIG.DATASET.NUM_EPISODES", 6,
+        "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", 4,
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT", IMG,
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH", IMG,
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT", IMG,
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH", IMG,
+        "NUM_ENVIRONMENTS", 2,
+        "TENSORBOARD_DIR", "",
+        "CHECKPOINT_FOLDER", f"{tmp}/ckpts",
+        "RL.NUM_UPDATES", 1,
+        "RL.LOG_INTERVAL", 1,
+        "RL.CHECKPOINT_INTERVAL", 1,
+        "RL.PPO.num_steps", 2,
+        "RL.PPO.num_mini_batch", 2,
+        "RL.PPO.ppo_epoch", 1,
+        "RL.POLICY.OBS_TRANSFORMS.ENABLED_TRANSFORMS", "[ObsStack]",
+        "MODEL.policy_name", "WaypointPolicy",
+        "MODEL.DEPTH_ENCODER.backbone", "resnet18",
+        "MODEL.RGB_ENCODER.cnn_type", "TorchVisionResNet18",
+        "MODEL.RGB_ENCODER.output_size", 64,
+        "MODEL.STATE_ENCODER.hidden_size", 64,
+        "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", False,
+        "MODEL.INSTRUCTION_ENCODER.vocab_size", 64,
+        "MODEL.INSTRUCTION_ENCODER.bidirectional", True,
+        "MODEL.INSTRUCTION_ENCODER.final_state_only", False,
+    ]
+    cfg = get_config(opts=opts)
+    trainer = registry.get_trainer("ddppo-waypoint")(cfg)
+    params_before = jax.tree_util.tree_leaves(None)  # placeholder
+    trainer.train()
+    assert os.path.exists(f"{tmp}/ckpts/ckpt.0.ckpt")
+
+
+class _NullWriter:
+    def add_scalar(self, *a, **k):
+        pass
+
+    def add_video_from_np_images(self, *a, **k):
+        pass

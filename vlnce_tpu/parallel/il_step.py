@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from vlnce_tpu.parallel.mesh import DATA_AXIS
 from vlnce_tpu.models.aux_losses import reduce_aux_losses
@@ -68,6 +68,6 @@ def build_dp_il_train_step(module, optimizer, mesh: Mesh, num_layers: int, hidde
         mesh=mesh,
         in_specs=(P(), P(), obs_spec, data_spec, data_spec, data_spec, data_spec),
         out_specs=(P(), P(), P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

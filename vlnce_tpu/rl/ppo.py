@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from vlnce_tpu.parallel.mesh import DATA_AXIS
 from vlnce_tpu.models.waypoint_predictors import offset_to_continuous
@@ -149,7 +149,7 @@ class WDDPPO:
             mesh=self.mesh,
             in_specs=(P(), P(), sample_spec),
             out_specs=(P(), P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
         return jax.jit(sharded)
 

@@ -204,6 +204,7 @@ class BaseVLNCETrainer:
         config.freeze()
 
         if config.EVAL.SAVE_RESULTS:
+            os.makedirs(config.RESULTS_DIR, exist_ok=True)
             fname = os.path.join(config.RESULTS_DIR, f"stats_ckpt_{checkpoint_index}_{split}.json")
             if os.path.exists(fname):
                 logger.info("skipping -- evaluation exists.")

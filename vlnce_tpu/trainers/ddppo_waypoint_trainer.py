@@ -106,7 +106,11 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
             logger.info(f"Loaded waypoint policy from {ckpt_path}")
         mesh = None
         try:
-            if len(jax.devices()) > 1:
+            n_dev = len(jax.devices())
+            envs_per_mb = max(1, config.NUM_ENVIRONMENTS // config.RL.PPO.num_mini_batch)
+            # shard the PPO update only when the minibatch env axis divides
+            # evenly over the data axis; otherwise run single-device
+            if n_dev > 1 and envs_per_mb % n_dev == 0:
                 mesh = mesh_from_config(config)
         except Exception:
             mesh = None
