@@ -376,7 +376,7 @@ class BaseVLNCETrainer:
             if config.INFERENCE.FORMAT == "rxr":
                 ep_id = current_episodes[i].episode_id
                 k = getattr(current_episodes[i].instruction, "instruction_id", None) or ep_id
-                instruction_ids[ep_id] = int(k)
+                instruction_ids[ep_id] = int(k) if str(k).isdigit() else k
 
         with tqdm.tqdm(total=sum(envs.number_of_episodes), desc="inference") as pbar:
             while any(active):
@@ -408,7 +408,7 @@ class BaseVLNCETrainer:
                             episode_predictions[ep_id].append(envs.call_at(i, "get_info", [None]))
                             if config.INFERENCE.FORMAT == "rxr":
                                 k = getattr(next_ep.instruction, "instruction_id", None) or ep_id
-                                instruction_ids[ep_id] = int(k)
+                                instruction_ids[ep_id] = int(k) if str(k).isdigit() else k
                     for k, v in obs.items():
                         obs_host[k][i] = np.asarray(v)
                 not_done_masks = jnp.asarray(masks_np)
