@@ -13,7 +13,6 @@ allreduce (reference ddppo_alg.py:4,9; SURVEY.md §5.8).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -16,7 +16,6 @@ for TPU:
 
 from __future__ import annotations
 
-import functools
 import gc
 import os
 from typing import Dict, List, Optional, Tuple
@@ -50,8 +49,6 @@ class DaggerTrainer(BaseVLNCETrainer):
             split=config.TASK_CONFIG.DATASET.SPLIT
         )
         super().__init__(config)
-        self._accum_grads = None
-        self._accum_count = 0
         self._train_step_cache: Dict[Tuple[int, int], any] = {}
 
     # ------------------------------------------------------------------ train
@@ -198,7 +195,6 @@ class DaggerTrainer(BaseVLNCETrainer):
             ep_ids_collected = {ep.episode_id for ep in envs.current_episodes()}
 
         pbar = tqdm.tqdm(total=config.IL.DAGGER.update_size, dynamic_ncols=True)
-        current_episodes = envs.current_episodes()
 
         while collected_eps < config.IL.DAGGER.update_size and any(active):
             # flush finished episodes to the store
