@@ -22,12 +22,12 @@ import time
 
 import numpy as np
 
-B = 8  # env batch per step
+B = 32  # env batch per step (one chip serves a pool of sim workers)
 RGB_HW = 224
 DEPTH_HW = 256
 INSTR_LEN = 200
-WARMUP = 3
-ITERS = 20
+CHAIN_SHORT = 2
+CHAIN_LONG = 42
 BASELINE_ITERS = 3
 
 
@@ -65,21 +65,27 @@ def bench_tpu() -> float:
         ),
         "progress": jnp.zeros((B, 1), jnp.float32),
     }
-    states = policy.initial_rnn_states(B)
-    prev_actions = jnp.zeros((B, 1), jnp.int32)
     masks = jnp.ones((B, 1), jnp.float32)
     key = jax.random.PRNGKey(1)
 
-    for _ in range(WARMUP):
-        actions, states = policy.act(obs, states, prev_actions, masks, rng=key)
-    jax.block_until_ready(states)
+    # Marginal-chain timing: remote-attached TPUs can acknowledge
+    # block_until_ready before execution completes, so a value readback is
+    # the only trustworthy barrier; the short/long chain difference removes
+    # the fixed readback/dispatch latency.
+    def chain(steps: int) -> float:
+        states = policy.initial_rnn_states(B)
+        actions = jnp.zeros((B, 1), jnp.int32)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            actions, states = policy.act(obs, states, actions, masks, rng=key)
+        float(jnp.sum(states))  # readback barrier
+        return time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        actions, states = policy.act(obs, states, actions, masks, rng=key)
-    jax.block_until_ready(states)
-    dt = time.perf_counter() - t0
-    return B * ITERS / dt
+    chain(CHAIN_SHORT)  # warm both compile and transfer paths
+    t_short = chain(CHAIN_SHORT)
+    t_long = chain(CHAIN_LONG)
+    per_step = (t_long - t_short) / (CHAIN_LONG - CHAIN_SHORT)
+    return B / per_step
 
 
 def _torch_resnet50(in_channels: int):
