@@ -36,6 +36,7 @@ class WDDPPO:
         pano_entropy_coef: float = 1.0,
         offset_entropy_coef: float = 1.0,
         distance_entropy_coef: float = 1.0,
+        num_updates: Optional[int] = None,
     ):
         self.policy = policy
         self.cfg = ppo_cfg
@@ -44,11 +45,22 @@ class WDDPPO:
         self.pano_entropy_coef = pano_entropy_coef
         self.offset_entropy_coef = offset_entropy_coef
         self.distance_entropy_coef = distance_entropy_coef
+        # linear lr decay rides an optax schedule over optimizer steps
+        # (reference habitat linear_decay + use_linear_lr_decay)
+        if getattr(ppo_cfg, "use_linear_lr_decay", False) and num_updates:
+            steps_per_update = ppo_cfg.ppo_epoch * ppo_cfg.num_mini_batch
+            lr = optax.linear_schedule(
+                init_value=ppo_cfg.lr, end_value=0.0,
+                transition_steps=num_updates * steps_per_update,
+            )
+        else:
+            lr = ppo_cfg.lr
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
-            optax.adam(ppo_cfg.lr, eps=ppo_cfg.eps),
+            optax.adam(lr, eps=ppo_cfg.eps),
         )
         self.optim_state = self.optimizer.init(policy.params)
+        self.num_updates = num_updates
         self._step_cache: Dict[Tuple[int, int], any] = {}
 
     # ------------------------------------------------------------- advantages
@@ -59,7 +71,7 @@ class WDDPPO:
         return (adv - adv.mean()) / (adv.std() + 1e-5)
 
     # ------------------------------------------------------------- loss core
-    def _loss(self, params, sample, T: int):
+    def _loss(self, params, sample, clip_param, T: int):
         (
             obs, hidden0, actions, prev_actions, value_preds, returns,
             masks, old_log_probs, adv_targ,
@@ -86,12 +98,12 @@ class WDDPPO:
 
         ratio = jnp.exp(action_log_probs - old_log_probs)
         surr1 = ratio * adv_targ
-        surr2 = jnp.clip(ratio, 1.0 - self.cfg.clip_param, 1.0 + self.cfg.clip_param) * adv_targ
+        surr2 = jnp.clip(ratio, 1.0 - clip_param, 1.0 + clip_param) * adv_targ
         action_loss = -jnp.minimum(surr1, surr2).mean()
 
         if self.cfg.clip_value_loss:
             value_pred_clipped = value_preds + jnp.clip(
-                values - value_preds, -self.cfg.clip_param, self.cfg.clip_param
+                values - value_preds, -clip_param, clip_param
             )
             value_loss = 0.5 * jnp.maximum(
                 (values - returns) ** 2, (value_pred_clipped - returns) ** 2
@@ -117,8 +129,8 @@ class WDDPPO:
         return total, stats
 
     def _build_step(self, T: int, n: int):
-        def local_step(params, optim_state, sample):
-            (_, stats), grads = jax.value_and_grad(self._loss, has_aux=True)(params, sample, T)
+        def local_step(params, optim_state, sample, clip_param):
+            (_, stats), grads = jax.value_and_grad(self._loss, has_aux=True)(params, sample, clip_param, T)
             if self.mesh is not None:
                 grads = jax.lax.pmean(grads, DATA_AXIS)
                 stats = jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, DATA_AXIS), stats)
@@ -146,14 +158,19 @@ class WDDPPO:
         sharded = shard_map(
             local_step,
             mesh=self.mesh,
-            in_specs=(P(), P(), sample_spec),
+            in_specs=(P(), P(), sample_spec, P()),
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
         return jax.jit(sharded)
 
     # ------------------------------------------------------------------ update
-    def update(self, rollouts, rng: np.random.RandomState):
+    def update(self, rollouts, rng: np.random.RandomState, update_idx: int = 0):
+        # linear clip decay (reference use_linear_clip_decay semantics)
+        clip_param = self.cfg.clip_param
+        if getattr(self.cfg, "use_linear_clip_decay", False) and self.num_updates:
+            clip_param *= max(0.0, 1.0 - update_idx / float(self.num_updates))
+        clip_param = jnp.asarray(clip_param, jnp.float32)
         advantages = self.get_advantages(rollouts)
         agg = {k: 0.0 for k in ("value_loss", "action_loss", "entropy_loss", "pano_entropy", "offset_entropy", "distance_entropy")}
 
@@ -177,7 +194,7 @@ class WDDPPO:
                 if key not in self._step_cache:
                     self._step_cache[key] = self._build_step(T, n)
                 self.policy.params, self.optim_state, stats = self._step_cache[key](
-                    self.policy.params, self.optim_state, dev_sample
+                    self.policy.params, self.optim_state, dev_sample, clip_param
                 )
                 for k in agg:
                     agg[k] += float(stats[k])

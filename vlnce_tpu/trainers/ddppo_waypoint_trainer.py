@@ -122,6 +122,7 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
             pano_entropy_coef=config.RL.PPO.pano_entropy_coef,
             offset_entropy_coef=config.RL.PPO.offset_entropy_coef,
             distance_entropy_coef=config.RL.PPO.distance_entropy_coef,
+            num_updates=int(config.RL.NUM_UPDATES),
         )
         logger.info(f"Initialized WaypointPolicy: {self.policy.num_params()} params (mesh={'on' if mesh else 'off'})")
 
@@ -214,7 +215,7 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
                     last_prev, jnp.asarray(rollouts.masks[rollouts.step]),
                 )
                 rollouts.compute_returns(np.asarray(next_value), ppo_cfg.use_gae, ppo_cfg.gamma, ppo_cfg.tau)
-                stats = self.agent.update(rollouts, rng_np)
+                stats = self.agent.update(rollouts, rng_np, update_idx=update)
                 rollouts.after_update()
                 pth_time += time.time() - t0
 
@@ -360,6 +361,9 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
         active = [True] * N
 
         stats_episodes: Dict[str, Dict] = {}
+        rgb_frames: List[List] = [[] for _ in range(N)]
+        if len(config.VIDEO_OPTION) > 0:
+            os.makedirs(config.VIDEO_DIR, exist_ok=True)
         num_eps = sum(envs.number_of_episodes)
         if config.EVAL.EPISODE_COUNT > -1:
             num_eps = min(config.EVAL.EPISODE_COUNT, num_eps)
@@ -393,6 +397,18 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
             new_obs = list(observations)
             for i, (obs, _, done, info) in zip(active_ids, stepped):
                 new_obs[i] = obs
+                if len(config.VIDEO_OPTION) > 0:
+                    from vlnce_tpu.utils.video import append_text_to_image, waypoint_observations_to_image
+
+                    r_np = np.asarray(out["r"]).reshape(-1)
+                    th_np = np.asarray(out["theta"]).reshape(-1)
+                    frame = waypoint_observations_to_image(
+                        {"rgb": batch["rgb"][i], "depth": batch["depth"][i]}, info,
+                        pano=int(pano_np[i]) if not stop_np[i] else None,
+                        r=float(r_np[i]), theta=float(th_np[i]),
+                    )
+                    frame = append_text_to_image(frame, current_episodes[i].instruction.instruction_text)
+                    rgb_frames[i].append(frame)
                 if done:
                     ep_id = current_episodes[i].episode_id
                     stats_episodes[ep_id] = {
@@ -400,6 +416,15 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
                     }
                     masks_np[i] = 0.0
                     pbar.update()
+                    if len(config.VIDEO_OPTION) > 0:
+                        from vlnce_tpu.utils.video import generate_video
+
+                        generate_video(
+                            video_option=config.VIDEO_OPTION, video_dir=config.VIDEO_DIR,
+                            images=rgb_frames[i], episode_id=ep_id, checkpoint_idx=checkpoint_index,
+                            metrics={"spl": stats_episodes[ep_id].get("spl", 0.0)}, tb_writer=writer,
+                        )
+                        rgb_frames[i] = []
                     new_obs[i] = envs.reset_at(i)[0]
                     obs_history["rgb"][i] = 0
                     obs_history["depth"][i] = 0
