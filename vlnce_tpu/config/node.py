@@ -141,11 +141,20 @@ class Config(dict):
 
 
 def _parse_literal(value: str) -> Any:
-    """Parse a CLI string value into a python literal via YAML rules."""
+    """Parse a CLI string value into a python literal via YAML rules.
+
+    YAML 1.1 doesn't treat '1e-3' as a float (needs '1.0e-3'); try numeric
+    parsing first so scientific notation works on the command line."""
     try:
-        return yaml.safe_load(value)
+        parsed = yaml.safe_load(value)
     except yaml.YAMLError:
         return value
+    if isinstance(parsed, str):
+        try:
+            return float(parsed) if any(c in parsed for c in ".eE") and parsed[0].isdigit() else parsed
+        except ValueError:
+            return parsed
+    return parsed
 
 
 def _coerce(value: Any, existing: Any, key: str) -> Any:

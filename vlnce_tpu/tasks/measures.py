@@ -384,6 +384,22 @@ class TopDownMapVLNCE(Measure):
         start = self._sim.get_agent_state()
         self._agent_path = [list(start.position)]
         self._map = map_utils.make_top_down_map(self._sim, self._config)
+        self._shortest_path = None
+        if self._config.DRAW_SHORTEST_PATH and episode.goals:
+            try:
+                self._shortest_path = self._sim.get_straight_shortest_path_points(
+                    list(start.position), episode.goals[0].position
+                )
+            except Exception:
+                self._shortest_path = None
+        self._nav_graph = None
+        if getattr(self._config, "DRAW_MP3D_AGENT_PATH", False):
+            from vlnce_tpu.utils.nav_graph import load_connectivity_graphs
+
+            graphs = load_connectivity_graphs(self._config.GRAPHS_FILE)
+            if graphs:
+                scene = episode.scene_id.split("/")[-1].split(".")[0]
+                self._nav_graph = graphs.get(scene)
         self._fog_mask = None
         scene = getattr(self._sim, "_scene", None)
         if self._config.FOG_OF_WAR.DRAW and scene is not None:
@@ -406,7 +422,11 @@ class TopDownMapVLNCE(Measure):
         self._metric = {
             "map": self._map,
             "agent_path": self._agent_path,
-            "reference_path": self._episode.reference_path,
+            "reference_path": self._episode.reference_path if self._config.DRAW_REFERENCE_PATH else None,
+            "shortest_path": self._shortest_path,
+            "source": list(self._episode.start_position) if self._config.DRAW_SOURCE_AND_TARGET else None,
+            "target": list(self._episode.goals[0].position) if self._config.DRAW_SOURCE_AND_TARGET and self._episode.goals else None,
+            "nav_graph": self._nav_graph,
             "agent_position": list(state.position),
             "agent_heading": heading,
             "step_count": self._step_count,

@@ -134,12 +134,27 @@ def apply_fog_of_war(map_img: np.ndarray, fog_mask: np.ndarray, dim: float = 0.5
 
 def colorize_topdown_metric(metric: dict, world_size: float = 16.0) -> np.ndarray:
     """Render the TopDownMapVLNCE metric dict into a frame."""
+    import cv2
+
     img = metric["map"].copy()
     if metric.get("fog_of_war_mask") is not None:
         img = apply_fog_of_war(img, metric["fog_of_war_mask"])
+    if metric.get("shortest_path"):
+        draw_path(img, metric["shortest_path"], MAP_SHORTEST_PATH_COLOR, world_size=world_size)
     if metric.get("reference_path"):
         draw_path(img, metric["reference_path"], MAP_REFERENCE_POINT, world_size=world_size)
+        for p in metric["reference_path"]:
+            draw_point(img, p, MAP_REFERENCE_POINT, radius=3, world_size=world_size)
     if metric.get("agent_path"):
-        draw_path(img, metric["agent_path"], MAP_SHORTEST_PATH_COLOR, world_size=world_size)
+        draw_path(img, metric["agent_path"], MAP_AGENT_COLOR, world_size=world_size)
+    if metric.get("source"):
+        draw_point(img, metric["source"], MAP_SOURCE_POINT_INDICATOR, radius=5, world_size=world_size)
+    if metric.get("target"):
+        draw_point(img, metric["target"], MAP_TARGET_POINT_INDICATOR, radius=5, world_size=world_size)
+    if metric.get("nav_graph") is not None:
+        from vlnce_tpu.utils.nav_graph import draw_nav_graph
+
+        draw_nav_graph(img, metric["nav_graph"], world_size=world_size)
     draw_agent(img, metric["agent_position"], metric["agent_heading"], world_size=world_size)
+    cv2.rectangle(img, (0, 0), (img.shape[1] - 1, img.shape[0] - 1), MAP_BORDER_INDICATOR, 2)
     return img
