@@ -163,6 +163,9 @@ class DaggerTrainer(BaseVLNCETrainer):
 
     # --------------------------------------------------------- collection
     def _update_dataset(self, data_it: int) -> None:
+        from vlnce_tpu.utils.profiling import SectionTimers
+
+        timers = SectionTimers()
         config = self.config
         envs = construct_envs(config, get_env_class(config.ENV_NAME))
         expert_uuid = config.IL.DAGGER.expert_policy_sensor_uuid
@@ -234,13 +237,14 @@ class DaggerTrainer(BaseVLNCETrainer):
             if collected_eps >= config.IL.DAGGER.update_size or not any(active):
                 break
 
-            batch = apply_obs_transforms_batch(
-                {k: jax.device_put(v) for k, v in obs_host.items()}, self.obs_transforms
-            )
-            actions, rnn_states, feats = self.policy.act_with_features(
-                batch, rnn_states, prev_actions, not_done_masks,
-                deterministic=False, rng=self._next_rng(),
-            )
+            with timers.time("pth_time"):
+                batch = apply_obs_transforms_batch(
+                    {k: jax.device_put(v) for k, v in obs_host.items()}, self.obs_transforms
+                )
+                actions, rnn_states, feats = self.policy.act_with_features(
+                    batch, rnn_states, prev_actions, not_done_masks,
+                    deterministic=False, rng=self._next_rng(),
+                )
             # beta-mix expert and policy actions on device
             expert_actions = jnp.asarray(obs_host[expert_uuid]).astype(jnp.int32).reshape(-1, 1)
             mix = jax.random.uniform(self._next_rng(), actions.shape)
@@ -278,7 +282,8 @@ class DaggerTrainer(BaseVLNCETrainer):
             prev_actions = jnp.asarray(actions_np.reshape(-1, 1))
 
             active_ids = [i for i in range(N) if active[i]]
-            stepped = envs.step_at(active_ids, [int(actions_np[i]) for i in active_ids])
+            with timers.time("env_time"):
+                stepped = envs.step_at(active_ids, [int(actions_np[i]) for i in active_ids])
             dones = [False] * N
             for i, (obs, _, done, _) in zip(active_ids, stepped):
                 per_env_obs[i] = obs
@@ -292,3 +297,4 @@ class DaggerTrainer(BaseVLNCETrainer):
         writer.close()
         pbar.close()
         envs.close()
+        logger.info(f"[collection it {data_it}] {collected_eps} episodes, {timers.summary()}")
