@@ -194,8 +194,10 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
         t_start = time.time()
         pth_time = env_time = 0.0
 
+        from vlnce_tpu.utils.profiling import maybe_profile
+
         os.makedirs(config.CHECKPOINT_FOLDER, exist_ok=True)
-        with TensorboardWriter(config.TENSORBOARD_DIR) as writer:
+        with TensorboardWriter(config.TENSORBOARD_DIR) as writer, maybe_profile(config.TPU.PROFILE_DIR or None):
             for update in range(start_update, config.RL.NUM_UPDATES):
                 if EXIT["flag"]:
                     break
