@@ -70,4 +70,4 @@ def build_dp_il_train_step(module, optimizer, mesh: Mesh, num_layers: int, hidde
         out_specs=(P(), P(), P(), P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, donate_argnums=(0, 1))

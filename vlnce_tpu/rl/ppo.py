@@ -139,7 +139,7 @@ class WDDPPO:
             return params, optim_state, stats
 
         if self.mesh is None:
-            return jax.jit(local_step)
+            return jax.jit(local_step, donate_argnums=(0, 1))
 
         # shard the env axis of the minibatch over the DATA mesh axis:
         # obs/actions/etc are [T, n, ...] (axis 1), hidden0 is [n, ...]
@@ -162,7 +162,7 @@ class WDDPPO:
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
-        return jax.jit(sharded)
+        return jax.jit(sharded, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------ update
     def update(self, rollouts, rng: np.random.RandomState, update_idx: int = 0):

@@ -16,6 +16,7 @@ for TPU:
 
 from __future__ import annotations
 
+import functools
 import gc
 import os
 from typing import Dict, List, Optional, Tuple
@@ -134,7 +135,7 @@ class DaggerTrainer(BaseVLNCETrainer):
             total = action_loss + aux_loss
             return total, (action_loss, aux_loss)
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, optim_state, observations, prev_actions, masks, corrected, weights):
             (loss, (action_loss, aux_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, observations, prev_actions, masks, corrected, weights

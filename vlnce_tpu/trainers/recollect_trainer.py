@@ -12,6 +12,7 @@ every `accumulation` micro-batches.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Dict, Tuple
@@ -56,7 +57,7 @@ class RecollectTrainer(BaseVLNCETrainer):
             aux_loss = reduce_aux_losses(aux, aux_mask)
             return action_loss + aux_loss, (action_loss, aux_loss)
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def step(params, optim_state, accum_grads, accum_scale, observations, prev_actions, masks, corrected, weights):
             (loss, (action_loss, aux_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, observations, prev_actions, masks, corrected, weights
