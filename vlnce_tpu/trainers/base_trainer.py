@@ -179,6 +179,18 @@ class BaseVLNCETrainer:
                 config[key] = self.config[key].clone() if hasattr(self.config[key], "clone") else self.config[key]
         return config
 
+    def _make_fused_act_step(self):
+        """Obs transforms + policy act as ONE jitted dispatch per env step
+        (halves per-step dispatch latency vs transform-then-act)."""
+        transforms = self.obs_transforms
+        policy = self.policy
+
+        def fn(params, observations, rnn_states, prev_actions, masks, rng, deterministic):
+            batch = apply_obs_transforms_batch(observations, transforms)
+            return policy._act_impl(params, batch, rnn_states, prev_actions, masks, rng, deterministic)
+
+        return jax.jit(fn, static_argnames=("deterministic",))
+
     # -- eval -----------------------------------------------------------------
     def _eval_checkpoint(self, checkpoint_path: str, writer, checkpoint_index: int = 0) -> None:
         logger.info(f"checkpoint_path: {checkpoint_path}")
@@ -241,16 +253,15 @@ class BaseVLNCETrainer:
         start_time = time.time()
         pth_time = env_time = 0.0
 
+        fused_step = self._make_fused_act_step()
         while any(active) and len(stats_episodes) < num_eps:
             current_episodes = envs.current_episodes()
 
             t0 = time.time()
-            batch = apply_obs_transforms_batch(
-                {k: jax.device_put(v) for k, v in obs_host.items()}, self.obs_transforms
-            )
-            actions, rnn_states = self.policy.act(
-                batch, rnn_states, prev_actions, not_done_masks,
-                deterministic=not config.EVAL.SAMPLE, rng=self._next_rng(),
+            actions, rnn_states = fused_step(
+                self.policy.params, {k: jnp.asarray(v) for k, v in obs_host.items()},
+                rnn_states, prev_actions, not_done_masks,
+                self._next_rng(), not config.EVAL.SAMPLE,
             )
             prev_actions = actions
             actions_np = np.asarray(actions).reshape(-1)
@@ -378,15 +389,14 @@ class BaseVLNCETrainer:
                 k = getattr(current_episodes[i].instruction, "instruction_id", None) or ep_id
                 instruction_ids[ep_id] = int(k) if str(k).isdigit() else k
 
+        fused_step = self._make_fused_act_step()
         with tqdm.tqdm(total=sum(envs.number_of_episodes), desc="inference") as pbar:
             while any(active):
                 current_episodes = envs.current_episodes()
-                batch = apply_obs_transforms_batch(
-                    {k: jax.device_put(v) for k, v in obs_host.items()}, self.obs_transforms
-                )
-                actions, rnn_states = self.policy.act(
-                    batch, rnn_states, prev_actions, not_done_masks,
-                    deterministic=not config.INFERENCE.SAMPLE, rng=self._next_rng(),
+                actions, rnn_states = fused_step(
+                    self.policy.params, {k: jnp.asarray(v) for k, v in obs_host.items()},
+                    rnn_states, prev_actions, not_done_masks,
+                    self._next_rng(), not config.INFERENCE.SAMPLE,
                 )
                 prev_actions = actions
                 actions_np = np.asarray(actions).reshape(-1)

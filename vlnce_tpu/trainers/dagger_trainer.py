@@ -192,6 +192,24 @@ class DaggerTrainer(BaseVLNCETrainer):
         cache_rgb = not config.MODEL.RGB_ENCODER.trainable
         cache_depth = not config.MODEL.DEPTH_ENCODER.trainable
 
+        # transforms + act_with_features + device-side beta expert mix fused
+        # into ONE jitted dispatch per collection step
+        transforms = self.obs_transforms
+        policy = self.policy
+
+        def _collect_impl(params, observations, rnn_states_, prev_actions_, masks_, rng, beta_):
+            batch = apply_obs_transforms_batch(observations, transforms)
+            rng_act, rng_mix = jax.random.split(rng)
+            acts, states, feats_ = policy._act_features_impl(
+                params, batch, rnn_states_, prev_actions_, masks_, rng_act, False
+            )
+            expert = observations[expert_uuid].astype(jnp.int32).reshape(-1, 1)
+            mix = jax.random.uniform(rng_mix, acts.shape)
+            acts = jnp.where(mix < beta_, expert, acts)
+            return acts, states, feats_, expert
+
+        collect_step = jax.jit(_collect_impl)
+
         writer = TrajectoryStoreWriter(self.features_dir, drop_existing=False)
         collected_eps = 0
         ep_ids_collected = None
@@ -239,17 +257,11 @@ class DaggerTrainer(BaseVLNCETrainer):
                 break
 
             with timers.time("pth_time"):
-                batch = apply_obs_transforms_batch(
-                    {k: jax.device_put(v) for k, v in obs_host.items()}, self.obs_transforms
+                actions, rnn_states, feats, expert_actions = collect_step(
+                    self.policy.params, {k: jnp.asarray(v) for k, v in obs_host.items()},
+                    rnn_states, prev_actions, not_done_masks,
+                    self._next_rng(), jnp.float32(beta),
                 )
-                actions, rnn_states, feats = self.policy.act_with_features(
-                    batch, rnn_states, prev_actions, not_done_masks,
-                    deterministic=False, rng=self._next_rng(),
-                )
-            # beta-mix expert and policy actions on device
-            expert_actions = jnp.asarray(obs_host[expert_uuid]).astype(jnp.int32).reshape(-1, 1)
-            mix = jax.random.uniform(self._next_rng(), actions.shape)
-            actions = jnp.where(mix < beta, expert_actions, actions)
 
             # bf16 device features -> a numpy-serializable dtype for the store
             store_dtype = jnp.float16 if config.IL.DAGGER.lmdb_fp16 else jnp.float32
