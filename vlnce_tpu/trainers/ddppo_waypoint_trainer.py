@@ -136,14 +136,17 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
                     out[k].append(float(v))
         return out
 
-    def _prepare_batch(self, observations: List[Dict], obs_history: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        batch = apply_obs_transforms_batch(
+    def _prepare_batch(self, observations: List[Dict], obs_history: Dict[str, np.ndarray]):
+        """Transforms run on device ONCE; returns (device_batch, numpy_batch)
+        so act() reuses the device copy and rollout storage gets the host
+        copy without a second transfer."""
+        dev = apply_obs_transforms_batch(
             {k: jnp.asarray(v) for k, v in stack_obs(observations).items()}, self.obs_transforms
         )
-        batch = {k: np.asarray(v) for k, v in batch.items()}
-        batch["rgb_history"] = obs_history["rgb"]
-        batch["depth_history"] = obs_history["depth"]
-        return batch
+        dev["rgb_history"] = jnp.asarray(obs_history["rgb"])
+        dev["depth_history"] = jnp.asarray(obs_history["depth"])
+        host = {k: np.asarray(v) for k, v in dev.items()}
+        return dev, host
 
     # ------------------------------------------------------------------ train
     def train(self) -> None:
@@ -170,8 +173,8 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
             "rgb": np.zeros_like(rollouts.observations["rgb_history"][0]),
             "depth": np.zeros_like(rollouts.observations["depth_history"][0]),
         }
-        batch = self._prepare_batch(observations, obs_history)
-        for k, v in batch.items():
+        self._dev_batch, host_batch = self._prepare_batch(observations, obs_history)
+        for k, v in host_batch.items():
             rollouts.observations[k][0] = v
 
         current_episode_reward = np.zeros((N, 1), np.float32)
@@ -264,7 +267,9 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
     def _collect_rollout_step(self, rollouts, current_episode_reward, running_episode_stats, window_episode_stats) -> Tuple[float, float]:
         t0 = time.time()
         N = self.envs.num_envs
-        step_obs = {k: jnp.asarray(v[rollouts.step]) for k, v in rollouts.observations.items()}
+        # device copy of the current obs is carried from _prepare_batch; no
+        # host->device re-upload per step
+        step_obs = self._dev_batch
         step_prev = {k: jnp.asarray(v[rollouts.step]) for k, v in rollouts.prev_actions.items()}
         out = self.policy.act(
             step_obs, jnp.asarray(rollouts.recurrent_hidden_states[rollouts.step]),
@@ -296,7 +301,7 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
         env_time = time.time() - t1
 
         t2 = time.time()
-        batch = self._prepare_batch(observations, obs_history)
+        self._dev_batch, batch = self._prepare_batch(observations, obs_history)
         rewards_np = np.asarray(rewards, np.float32).reshape(N, 1)
         masks_np = np.asarray([[0.0] if d else [1.0] for d in dones], np.float32)
 
@@ -356,7 +361,7 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
             "rgb": np.zeros((N,) + self.observation_space["rgb_history"].shape, self.observation_space["rgb_history"].dtype),
             "depth": np.zeros((N,) + self.observation_space["depth_history"].shape, self.observation_space["depth_history"].dtype),
         }
-        batch = self._prepare_batch(observations, obs_history)
+        dev_batch, batch = self._prepare_batch(observations, obs_history)
         rnn_states = self.policy.initial_rnn_states(N)
         prev_actions = {k: jnp.zeros((N, 1), jnp.float32) for k in ("pano", "offset", "distance")}
         not_done_masks = jnp.zeros((N, 1), jnp.float32)
@@ -374,7 +379,7 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
         while any(active) and len(stats_episodes) < num_eps:
             current_episodes = envs.current_episodes()
             out = self.policy.act(
-                {k: jnp.asarray(v) for k, v in batch.items()},
+                dev_batch,
                 rnn_states, prev_actions, not_done_masks,
                 deterministic=not config.EVAL.SAMPLE, rng=self._next_rng(),
             )
@@ -434,7 +439,7 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
                     if next_ep.episode_id in stats_episodes:
                         active[i] = False
             observations = new_obs
-            batch = self._prepare_batch(observations, obs_history)
+            dev_batch, batch = self._prepare_batch(observations, obs_history)
             not_done_masks = jnp.asarray(masks_np)
 
         envs.close()
