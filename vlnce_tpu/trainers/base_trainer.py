@@ -43,6 +43,12 @@ from vlnce_tpu.utils.logging import logger
 from vlnce_tpu.utils.tensorboard import TensorboardWriter
 
 
+def is_slurm_batch_job() -> bool:
+    """tqdm bars are suppressed under SLURM batch jobs (reference
+    base_il_trainer.py:251,310 via habitat is_slurm_batch_job)."""
+    return bool(os.environ.get("SLURM_JOB_ID")) and os.environ.get("SLURM_PTY_PORT") is None
+
+
 class BaseVLNCETrainer:
     def __init__(self, config):
         self.config = config
@@ -249,7 +255,7 @@ class BaseVLNCETrainer:
         if config.EVAL.EPISODE_COUNT > -1:
             num_eps = min(config.EVAL.EPISODE_COUNT, num_eps)
 
-        pbar = tqdm.tqdm(total=num_eps, desc=f"eval ckpt {checkpoint_index}")
+        pbar = tqdm.tqdm(total=num_eps, desc=f"eval ckpt {checkpoint_index}", disable=is_slurm_batch_job())
         start_time = time.time()
         pth_time = env_time = 0.0
 
@@ -390,7 +396,7 @@ class BaseVLNCETrainer:
                 instruction_ids[ep_id] = int(k) if str(k).isdigit() else k
 
         fused_step = self._make_fused_act_step()
-        with tqdm.tqdm(total=sum(envs.number_of_episodes), desc="inference") as pbar:
+        with tqdm.tqdm(total=sum(envs.number_of_episodes), desc="inference", disable=is_slurm_batch_job()) as pbar:
             while any(active):
                 current_episodes = envs.current_episodes()
                 actions, rnn_states = fused_step(
