@@ -85,3 +85,16 @@ def test_call_at(envs):
     envs.reset()
     ep = envs.call_at(0, "current_episode")
     assert hasattr(ep, "episode_id")
+
+
+def test_step_at_async_overlap(envs):
+    """Split-phase stepping: dispatch, do other work, then receive."""
+    envs.reset()
+    envs.step_at_async([0], [1])
+    # while env 0 steps, we can interact with env 1
+    out1 = envs.step_at([1], [2])
+    assert len(out1) == 1
+    out0 = envs.recv_at([0])
+    assert len(out0) == 1
+    obs, reward, done, info = out0[0]
+    assert "rgb" in obs

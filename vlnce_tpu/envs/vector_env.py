@@ -198,8 +198,18 @@ class VectorEnv:
     def step_at(self, indices: Sequence[int], actions: Sequence[Any]) -> List[Tuple]:
         """Pipelined step of a subset of envs: all sends first, then all
         receives (keeps sim workers busy concurrently)."""
+        self.step_at_async(indices, actions)
+        return self.recv_at(indices)
+
+    def step_at_async(self, indices: Sequence[int], actions: Sequence[Any]) -> None:
+        """Dispatch step commands without waiting — the sims run while the
+        caller does other work (e.g. device compute for another env group);
+        pair with recv_at(indices). This is the double-buffered collection
+        seam (SURVEY.md §7: overlap sim stepping with device compute)."""
         for i, a in zip(indices, actions):
             self._conns[i].send((STEP, a))
+
+    def recv_at(self, indices: Sequence[int]) -> List[Tuple]:
         out = []
         for i in indices:
             obs, reward, done, info = self._conns[i].recv()
@@ -313,6 +323,13 @@ class ThreadedVectorEnv:
                 obs = self._envs[i].reset()
             out.append((obs, reward, done, info))
         return out
+
+    def step_at_async(self, indices, actions) -> None:
+        # threaded envs run synchronously; buffer the results for recv_at
+        self._pending = {tuple(indices): self.step_at(indices, actions)}
+
+    def recv_at(self, indices):
+        return self._pending.pop(tuple(indices))
 
     def current_episodes(self):
         return [env.current_episode for env in self._envs]
