@@ -131,3 +131,53 @@ def test_episode_iterator_num_sample():
     assert len(set(seen)) == 5
     with pytest.raises(StopIteration):
         next(it)
+
+
+def test_discretized_waypoint_env_steps_without_reward_measure():
+    """VLNCEWaypointEnvDiscretized parity (reference environments.py:94-198):
+    reward is 0.0 (no waypoint_reward_measure needed in TASK.MEASUREMENTS),
+    and an empty plan (waypoint within goal radius) re-fetches observations at
+    the current pose instead of terminating the episode."""
+    import vlnce_tpu.tasks  # noqa: F401
+    from vlnce_tpu.config import get_config
+    from vlnce_tpu.envs import ensure_registered
+    from vlnce_tpu.envs.rl_envs import VLNCEWaypointEnvDiscretized
+
+    ensure_registered()
+    cfg = get_config(
+        # experiment chain, reference-style: waypoint experiment + DN override
+        config_paths=(
+            "vlnce_tpu/config/experiments/synthetic/smoke_waypoint.yaml,"
+            "vlnce_tpu/tasks/config/vlnce_waypoint_DN.yaml"
+        ),
+        opts=[
+            "TASK_CONFIG.DATASET.NUM_EPISODES", 2,
+            "TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT", 16,
+            "TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH", 16,
+            "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT", 16,
+            "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH", 16,
+        ],
+    )
+    assert cfg.ENV_NAME == "VLNCEWaypointEnvDiscretized"
+    # DN task config keeps only the metric measures -- no reward measure
+    assert "WAYPOINT_REWARD_MEASURE" not in cfg.TASK_CONFIG.TASK.MEASUREMENTS
+    env = VLNCEWaypointEnvDiscretized(cfg)
+    obs = env.reset()
+    # a real waypoint gets planned into discrete steps
+    obs, reward, done, info = env.step(
+        {"action": "GO_TOWARD_POINT", "action_args": {"r": 1.0, "theta": 0.0}}
+    )
+    assert reward == 0.0
+    assert "distance_to_goal" in info
+    # a waypoint already within the goal radius -> empty plan -> episode must
+    # NOT terminate; observations are re-fetched at the current pose
+    if not done:
+        steps_before = env.habitat_env._elapsed_steps
+        obs, reward, done2, info = env.step(
+            {"action": "GO_TOWARD_POINT", "action_args": {"r": 0.01, "theta": 0.0}}
+        )
+        assert reward == 0.0
+        assert env.habitat_env._elapsed_steps == steps_before
+        assert not env.habitat_env.task.is_stop_called
+        assert "rgb" in obs
+    env.close()

@@ -111,9 +111,28 @@ def test_waypoint_trainer_updates(tmp_path):
     ]
     cfg = get_config(opts=opts)
     trainer = registry.get_trainer("ddppo-waypoint")(cfg)
-    params_before = jax.tree_util.tree_leaves(None)  # placeholder
+    # snapshot freshly initialized params so we can assert the PPO update
+    # actually moves them
+    captured = {}
+    orig_init = trainer._initialize_policy_rl
+
+    def wrapped(*a, **k):
+        orig_init(*a, **k)
+        captured["before"] = jax.tree_util.tree_map(
+            lambda x: np.asarray(x).copy(), trainer.policy.params
+        )
+
+    trainer._initialize_policy_rl = wrapped
     trainer.train()
     assert os.path.exists(f"{tmp}/ckpts/ckpt.0.ckpt")
+    before = jax.tree_util.tree_leaves(captured["before"])
+    after = jax.tree_util.tree_leaves(trainer.policy.params)
+    assert len(before) == len(after)
+    changed = any(
+        not np.allclose(np.asarray(b), np.asarray(a))
+        for b, a in zip(before, after)
+    )
+    assert changed, "PPO update did not change any parameter"
 
 
 class _NullWriter:

@@ -148,11 +148,18 @@ class VLNCEWaypointEnvDiscretized(VLNCEWaypointEnv):
     def __init__(self, config, dataset=None):
         super().__init__(config, dataset=dataset)
         sim_cfg = config.TASK_CONFIG.SIMULATOR
+        step_size = float(sim_cfg.FORWARD_STEP_SIZE)
         self._planner = DiscretePathPlanner(
-            forward_distance=float(sim_cfg.FORWARD_STEP_SIZE),
+            forward_distance=step_size,
             turn_angle=math.radians(float(sim_cfg.TURN_ANGLE)),
-            goal_radius=0.5 * float(sim_cfg.FORWARD_STEP_SIZE),
+            # 0.13 m for the 0.25 m step (reference environments.py:107)
+            goal_radius=round(step_size / 2, 2) + 0.01,
         )
+
+    def get_reward(self, observations) -> float:
+        # reference environments.py:111 — the discretized navigator is an
+        # eval-only env; no reward measure is required in the task config.
+        return 0.0
 
     def step(self, action) -> Tuple[Dict, float, bool, Dict]:
         if isinstance(action, dict) and isinstance(action.get("action"), dict):
@@ -168,7 +175,14 @@ class VLNCEWaypointEnvDiscretized(VLNCEWaypointEnv):
                 if self._env.episode_over:
                     break
             if observations is None:
-                observations = self._env.step({"action": "STOP"})
+                # Empty plan: the waypoint is already within the goal radius.
+                # Re-fetch observations at the current pose and continue the
+                # episode (reference environments.py:146-151) — stepping STOP
+                # here would wrongly terminate the episode.
+                state = self._env.sim.get_agent_state()
+                observations = self._env.sim.get_observations_at(
+                    state.position, state.rotation
+                )
         else:
             observations = self._env.step(action)
         return (

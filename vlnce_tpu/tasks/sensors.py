@@ -208,9 +208,21 @@ class RxRInstructionSensor(Sensor):
             )
             f = archive["features"]
             feats[: f.shape[0], : f.shape[1]] = f[: self.max_text_len, : self.feature_dim]
-        except (FileNotFoundError, KeyError, ValueError, TypeError):
+        except (FileNotFoundError, KeyError, ValueError, TypeError) as e:
             # synthetic fallback: deterministic features from the episode id so
-            # the full RxR path runs without the 23GB feature dump on disk
+            # the full RxR path runs without the 23GB feature dump on disk.
+            # Warn once — on real RxR data a typo'd features_path would
+            # otherwise silently train on noise.
+            if not getattr(RxRInstructionSensor, "_warned_fallback", False):
+                RxRInstructionSensor._warned_fallback = True
+                import logging
+
+                logging.getLogger("vlnce_tpu").warning(
+                    "RxRInstructionSensor: failed to load BERT features from "
+                    f"{self.features_path!r} ({type(e).__name__}: {e}); falling "
+                    "back to deterministic synthetic features. If you expected "
+                    "real RxR features, check INSTRUCTION_SENSOR.features_path."
+                )
             rng = np.random.RandomState(abs(hash(str(episode.episode_id))) % (2**31))
             n = rng.randint(8, max(9, self.max_text_len // 2))
             feats[:n] = rng.randn(n, self.feature_dim).astype(np.float32)

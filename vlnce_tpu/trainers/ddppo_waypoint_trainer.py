@@ -206,11 +206,17 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
                     break
                 for _step in range(ppo_cfg.num_steps):
                     d_pth, d_env = self._collect_rollout_step(
-                        rollouts, current_episode_reward, running_episode_stats, window_episode_stats
+                        rollouts, current_episode_reward, running_episode_stats
                     )
                     pth_time += d_pth
                     env_time += d_env
                     count_steps += N
+
+                # one cumulative snapshot per update; logging takes the delta
+                # between the newest and oldest snapshots in the window
+                # (habitat windowed-mean semantics)
+                for k, v in running_episode_stats.items():
+                    window_episode_stats[k].append(v.copy())
 
                 t0 = time.time()
                 last_obs = {k: jnp.asarray(v[rollouts.step]) for k, v in rollouts.observations.items()}
@@ -226,10 +232,11 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
 
                 if update % config.RL.LOG_INTERVAL == 0:
                     fps = count_steps / max(time.time() - t_start, 1e-6)
-                    reward_mean = (
-                        np.sum([np.sum(x) for x in window_episode_stats["reward"]])
-                        / max(np.sum([np.sum(x) for x in window_episode_stats["count"]]), 1.0)
-                    )
+                    deltas = {
+                        k: (np.sum(w[-1] - w[0]) if len(w) > 1 else np.sum(w[0]))
+                        for k, w in window_episode_stats.items()
+                    }
+                    reward_mean = deltas.get("reward", 0.0) / max(deltas.get("count", 0.0), 1.0)
                     logger.info(
                         f"update {update}\tfps {fps:.1f}\treward {reward_mean:.3f}\t"
                         + "\t".join(f"{k} {v:.4f}" for k, v in stats.items())
@@ -264,7 +271,7 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
         logger.info("Saved interrupted state for requeue")
 
     # --------------------------------------------------------- rollout step
-    def _collect_rollout_step(self, rollouts, current_episode_reward, running_episode_stats, window_episode_stats) -> Tuple[float, float]:
+    def _collect_rollout_step(self, rollouts, current_episode_reward, running_episode_stats) -> Tuple[float, float]:
         t0 = time.time()
         N = self.envs.num_envs
         # device copy of the current obs is carried from _prepare_batch; no
@@ -314,8 +321,6 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
                 running_episode_stats[k] = np.zeros((N, 1), np.float32)
             running_episode_stats[k] += done_mask * np.asarray(v, np.float32).reshape(N, 1)
         current_episode_reward *= masks_np
-        for k, v in running_episode_stats.items():
-            window_episode_stats[k].append(v.copy())
 
         rollouts.insert(
             batch,
