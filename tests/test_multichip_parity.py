@@ -1,0 +1,227 @@
+"""Sharded-vs-single-device training parity.
+
+The data-parallel train steps (parallel/il_step.py, rl/ppo.py) keep losses in
+sum/global-count form so the sharded update must equal the single-device one
+EXACTLY (up to float reassociation) — including when the env axis is padded
+to a multiple of the mesh. These tests run on the 8-device virtual CPU mesh
+(conftest.py), the TPU analog of testing DD-PPO without a cluster.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from gymnasium import spaces
+
+from vlnce_tpu.config import get_config
+from vlnce_tpu.parallel.mesh import make_mesh, resolve_training_mesh
+from vlnce_tpu.parallel.il_step import (
+    build_il_train_step,
+    build_il_accum_step,
+    pad_batch_env_axis,
+)
+
+IMG = 16
+
+
+def _cma_policy():
+    from vlnce_tpu.models.cma_policy import CMAPolicy
+
+    cfg = get_config(opts=[
+        "MODEL.DEPTH_ENCODER.backbone", "resnet18",
+        "MODEL.RGB_ENCODER.cnn_type", "TorchVisionResNet18",
+        "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", False,
+        "MODEL.INSTRUCTION_ENCODER.bidirectional", True,
+        "MODEL.PROGRESS_MONITOR.use", True,
+        "MODEL.STATE_ENCODER.hidden_size", 32,
+        "MODEL.RGB_ENCODER.output_size", 32,
+        "MODEL.INSTRUCTION_ENCODER.vocab_size", 32,
+    ])
+    space = spaces.Dict({
+        "rgb": spaces.Box(0, 255, (IMG, IMG, 3), np.uint8),
+        "depth": spaces.Box(0, 1, (IMG, IMG, 1), np.float32),
+        "instruction": spaces.Box(0, 10000, (24,), np.int32),
+        "progress": spaces.Box(0, 1, (1,), np.float32),
+    })
+    policy = CMAPolicy.from_config(cfg, space, spaces.Discrete(4))
+    policy.init_params(jax.random.PRNGKey(0), batch_size=1)
+    return policy
+
+
+def _il_batch(T=4, N=3, seed=0):
+    rng = np.random.RandomState(seed)
+    obs = {
+        "rgb": jnp.asarray(rng.randint(0, 255, (T, N, IMG, IMG, 3), dtype=np.uint8)),
+        "depth": jnp.asarray(rng.rand(T, N, IMG, IMG, 1).astype(np.float32)),
+        "instruction": jnp.asarray(rng.randint(1, 30, (T, N, 24), dtype=np.int32)),
+        "progress": jnp.asarray(rng.rand(T, N, 1).astype(np.float32)),
+    }
+    prev = jnp.asarray(rng.randint(0, 4, (T, N)).astype(np.int32))
+    masks = jnp.ones((T, N), jnp.float32).at[0].set(0.0)
+    corrected = jnp.asarray(rng.randint(0, 4, (T, N)).astype(np.int32))
+    weights = jnp.asarray((1.0 + rng.rand(T, N)).astype(np.float32))
+    return obs, prev, masks, corrected, weights
+
+
+def _updates_match(params0, p1, p2, atol=5e-5):
+    """Compare the parameter DELTAS of two updates. Encoders run in bfloat16,
+    so sharded reassociation perturbs gradients at bf16 noise level; Adam
+    steps are <= lr (1e-3), so atol=5e-5 bounds the divergence at 5% of the
+    largest possible step while still failing hard on any real inequality
+    (wrong denominator, missing psum, unmasked padding all give O(lr))."""
+    l0 = jax.tree_util.tree_leaves(params0)
+    l1 = jax.tree_util.tree_leaves(p1)
+    l2 = jax.tree_util.tree_leaves(p2)
+    assert len(l0) == len(l1) == len(l2)
+    moved = 0.0
+    for x0, x1, x2 in zip(l0, l1, l2):
+        d1 = np.asarray(x1) - np.asarray(x0)
+        d2 = np.asarray(x2) - np.asarray(x0)
+        moved = max(moved, float(np.max(np.abs(d1))))
+        np.testing.assert_allclose(d1, d2, atol=atol, rtol=0)
+    assert moved > 1e-4, "update did not move parameters"
+
+
+def test_il_train_step_sharded_equals_single_device():
+    policy = _cma_policy()
+    optimizer = optax.adam(1e-3)
+    params0 = policy.params
+    opt0 = optimizer.init(params0)
+    batch = _il_batch(T=4, N=3)
+
+    def copy(t):
+        return jax.tree_util.tree_map(jnp.array, t)
+
+    single = build_il_train_step(
+        policy.module, optimizer, policy.num_recurrent_layers, policy.hidden_size, mesh=None
+    )
+    p1, o1, loss1, al1, xl1 = single(copy(params0), copy(opt0), *batch)
+
+    mesh = make_mesh(num_devices=2)
+    sharded = build_il_train_step(
+        policy.module, optimizer, policy.num_recurrent_layers, policy.hidden_size, mesh=mesh
+    )
+    padded = pad_batch_env_axis(*batch, multiple=2)  # N=3 -> 4
+    assert padded[3].shape[1] == 4
+    p2, o2, loss2, al2, xl2 = sharded(copy(params0), copy(opt0), *padded)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    np.testing.assert_allclose(float(al1), float(al2), rtol=1e-5)
+    np.testing.assert_allclose(float(xl1), float(xl2), rtol=1e-4, atol=1e-7)
+    _updates_match(params0, p1, p2)
+
+
+def test_il_accum_step_sharded_equals_single_device():
+    policy = _cma_policy()
+    optimizer = optax.adam(1e-3)
+    params0 = policy.params
+    opt0 = optimizer.init(params0)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params0)
+    batch = _il_batch(T=4, N=2, seed=1)
+
+    def copy(t):
+        return jax.tree_util.tree_map(jnp.array, t)
+
+    single = build_il_accum_step(
+        policy.module, optimizer, policy.num_recurrent_layers, policy.hidden_size,
+        apply=True, mesh=None,
+    )
+    p1, o1, g1, loss1, _, _ = single(copy(params0), copy(opt0), copy(zeros), 1.0, *batch)
+
+    mesh = make_mesh(num_devices=2)
+    sharded = build_il_accum_step(
+        policy.module, optimizer, policy.num_recurrent_layers, policy.hidden_size,
+        apply=True, mesh=mesh,
+    )
+    p2, o2, g2, loss2, _, _ = sharded(copy(params0), copy(opt0), copy(zeros), 1.0, *batch)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    _updates_match(params0, p1, p2)
+
+
+def test_ppo_update_sharded_equals_single_device():
+    from vlnce_tpu.models.waypoint_policy import WaypointPolicy
+    from vlnce_tpu.rl.ppo import WDDPPO
+
+    P_, img = 12, 8
+    space = spaces.Dict({
+        "rgb": spaces.Box(0, 255, (P_, img, img, 3), np.uint8),
+        "depth": spaces.Box(0, 1, (P_, img, img, 1), np.float32),
+        "rgb_history": spaces.Box(0, 255, (img, img, 3), np.uint8),
+        "depth_history": spaces.Box(0, 1, (img, img, 1), np.float32),
+        "instruction": spaces.Box(0, 10000, (16,), np.int32),
+        "angle_features": spaces.Box(-1, 1, (P_, 4), np.float32),
+    })
+    cfg = get_config(opts=[
+        "MODEL.policy_name", "WaypointPolicy",
+        "MODEL.DEPTH_ENCODER.backbone", "resnet18",
+        "MODEL.RGB_ENCODER.cnn_type", "TorchVisionResNet18",
+        "MODEL.RGB_ENCODER.output_size", 64,
+        "MODEL.STATE_ENCODER.hidden_size", 64,
+        "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", False,
+        "MODEL.INSTRUCTION_ENCODER.final_state_only", False,
+        "MODEL.INSTRUCTION_ENCODER.bidirectional", True,
+        "MODEL.INSTRUCTION_ENCODER.vocab_size", 32,
+    ])
+
+    def make_agent(mesh):
+        policy = WaypointPolicy.from_config(cfg, space)
+        policy.init_params(jax.random.PRNGKey(0), batch_size=1)
+        return WDDPPO(policy, cfg.RL.PPO, mesh=mesh, offset_regularize_coef=0.1146)
+
+    T, n = 2, 3
+    rng = np.random.RandomState(0)
+    obs = {
+        "rgb": jnp.asarray(rng.randint(0, 255, (T, n, P_, img, img, 3), dtype=np.uint8)),
+        "depth": jnp.asarray(rng.rand(T, n, P_, img, img, 1).astype(np.float32)),
+        "rgb_history": jnp.asarray(rng.randint(0, 255, (T, n, img, img, 3), dtype=np.uint8)),
+        "depth_history": jnp.asarray(rng.rand(T, n, img, img, 1).astype(np.float32)),
+        "instruction": jnp.asarray(rng.randint(1, 30, (T, n, 16), dtype=np.int32)),
+        "angle_features": jnp.asarray(rng.rand(T, n, P_, 4).astype(np.float32)),
+    }
+    ones = jnp.ones((T, n, 1), jnp.float32)
+    actions = {"pano": ones * 2, "offset": ones * 0.01, "distance": ones * 0.9}
+    prev_actions = {k: jnp.zeros_like(v) for k, v in actions.items()}
+    base_sample = (
+        obs,
+        jnp.zeros((n, 2, 64), jnp.float32),
+        actions, prev_actions,
+        ones * 0.5, ones * 1.0, ones,
+        ones * -3.0, ones * 0.2,
+    )
+
+    agent1 = make_agent(mesh=None)
+    hidden_shape = (n, agent1.policy.num_recurrent_layers, agent1.policy.hidden_size)
+    sample = base_sample[:1] + (jnp.zeros(hidden_shape, jnp.float32),) + base_sample[2:]
+
+    # both agents init from PRNGKey(0); snapshot before the donating step call
+    params_ref = jax.tree_util.tree_map(np.asarray, agent1.policy.params)
+
+    step1 = agent1._build_step(T, n)
+    p1, o1, stats1 = step1(
+        agent1.policy.params, agent1.optim_state, sample,
+        jnp.ones((n,), jnp.float32), jnp.float32(0.2),
+    )
+
+    agent2 = make_agent(mesh=make_mesh(num_devices=2))
+    padded, valid = agent2._pad_sample(sample, n)  # n=3 -> 4
+    assert valid.shape[0] == 4 and float(valid.sum()) == 3.0
+    step2 = agent2._build_step(T, 4)
+    p2, o2, stats2 = step2(agent2.policy.params, agent2.optim_state, padded, valid, jnp.float32(0.2))
+
+    for k in stats1:
+        np.testing.assert_allclose(float(stats1[k]), float(stats2[k]), rtol=2e-5, atol=1e-6,
+                                   err_msg=f"stat {k}")
+    _updates_match(params_ref, p1, p2, atol=1e-4)
+
+
+def test_resolve_training_mesh_fails_loudly():
+    cfg = get_config(opts=["TPU.MESH.DATA", 999])
+    with pytest.raises(RuntimeError, match="requires 999 devices|requires"):
+        resolve_training_mesh(cfg)
+    cfg1 = get_config(opts=["TPU.MESH.DATA", 1])
+    assert resolve_training_mesh(cfg1) is None
+    cfg_auto = get_config(opts=["TPU.MESH.DATA", -1])
+    mesh = resolve_training_mesh(cfg_auto)
+    assert mesh is not None and mesh.devices.size == len(jax.devices())

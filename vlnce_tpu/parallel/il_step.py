@@ -1,19 +1,25 @@
 """Data-parallel IL training step over a device mesh.
 
-The single-chip DAgger update (vlnce_tpu/trainers/dagger_trainer.py) shards
-over the env/batch axis N here: params and optimizer state are replicated,
-per-shard gradients are pmean'd over the DATA axis inside shard_map, and the
-(identical) update is applied on every shard. This is the TPU-native
-replacement for torch DDP gradient allreduce (SURVEY.md §5.8): collectives
-ride ICI, inserted explicitly via lax.pmean.
+This module owns the IL update used by BOTH production trainers
+(DaggerTrainer and RecollectTrainer, vlnce_tpu/trainers/): params and
+optimizer state are replicated, per-shard gradients are psum'd over the DATA
+axis inside shard_map, and the (identical) update is applied once outside.
+This is the TPU-native replacement for torch DDP gradient allreduce
+(SURVEY.md §5.8): collectives ride ICI, inserted explicitly via lax.psum.
 
-Inputs are time-major [T, N, ...]; N must divide by the data-axis size.
+Loss bookkeeping is kept in sum/count form so that
+
+- the sharded loss/grads are EXACTLY the single-device loss/grads (global
+  denominators via psum, per-shard numerators summed), and
+- env-axis padding (needed when N is not a multiple of the data-axis size)
+  contributes nothing: padded slots carry all-zero inflection weights.
+
+Inputs are time-major [T, N, ...]; use pad_batch_env_axis to round N up.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,52 +28,137 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from vlnce_tpu.parallel.mesh import DATA_AXIS
-from vlnce_tpu.models.aux_losses import reduce_aux_losses
 
 
-def il_loss_fn(module, params, observations_tn, prev_actions, masks, corrected, weights, num_layers: int, hidden: int):
-    """observations_tn: dict of [T, n, ...]; returns (loss, (action, aux))."""
+def _il_loss_terms(module, params, obs_tn, prev_tn, masks_tn, corrected, weights,
+                   num_layers: int, hidden: int):
+    """Inflection-weighted CE + aux losses in sum/count form.
+
+    obs_tn: dict of [T, n, ...]; prev/masks/corrected/weights: [T, n].
+    Returns (action_num, action_den, aux_num, aux_den) where the final losses
+    are num/den with the denominators summed over all shards. Envs whose
+    weights are all zero (padding) are excluded from both terms.
+    """
     T, n = corrected.shape
-    obs_flat = {k: v.reshape((T * n,) + v.shape[2:]) for k, v in observations_tn.items()}
+    obs_flat = {k: v.reshape((T * n,) + v.shape[2:]) for k, v in obs_tn.items()}
     rnn_states = jnp.zeros((n, num_layers, hidden), jnp.float32)
     logits, _, aux = module.apply(
         {"params": params}, obs_flat, rnn_states,
-        prev_actions.reshape(T * n, 1), masks.reshape(T * n, 1), seq_len=T,
+        prev_tn.reshape(T * n, 1), masks_tn.reshape(T * n, 1), seq_len=T,
     )
     logits = logits.reshape(T, n, -1)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(log_probs, corrected[..., None], axis=-1).squeeze(-1)
-    action_loss = jnp.mean(jnp.sum(weights * nll, axis=0) / jnp.maximum(jnp.sum(weights, axis=0), 1e-8))
+
+    w_sum = jnp.sum(weights, axis=0)  # [n]
+    per_env = jnp.sum(weights * nll, axis=0) / jnp.maximum(w_sum, 1e-8)
+    valid = (w_sum > 0).astype(jnp.float32)
+    action_num = jnp.sum(per_env * valid)
+    action_den = jnp.sum(valid)
+
+    # sum of alpha-scaled masked means, shared denominator
+    # (mirrors _AuxLosses.reduce, reference aux_losses.py:24-32)
     aux_mask = (weights > 0).reshape(-1).astype(jnp.float32)
-    aux_loss = reduce_aux_losses(aux, aux_mask)
-    return action_loss + aux_loss, (action_loss, aux_loss)
+    aux_num = jnp.zeros((), jnp.float32)
+    for _, (loss, alpha) in aux.items():
+        aux_num = aux_num + alpha * jnp.sum(loss.reshape(-1) * aux_mask)
+    aux_den = jnp.sum(aux_mask)
+    return action_num, action_den, aux_num, aux_den
 
 
-def build_dp_il_train_step(module, optimizer, mesh: Mesh, num_layers: int, hidden: int) -> Callable:
+def _make_loss_and_grads(module, num_layers: int, hidden: int, mesh: Optional[Mesh]):
+    def loss_and_grads(params, obs_tn, prev_tn, masks_tn, corrected, weights):
+        def loss_fn(p):
+            a_num, a_den, x_num, x_den = _il_loss_terms(
+                module, p, obs_tn, prev_tn, masks_tn, corrected, weights, num_layers, hidden
+            )
+            if mesh is not None:
+                # global counts so every shard divides by the same denominator
+                a_den = jax.lax.psum(a_den, DATA_AXIS)
+                x_den = jax.lax.psum(x_den, DATA_AXIS)
+            action_loss = a_num / jnp.maximum(a_den, 1.0)
+            aux_loss = x_num / jnp.maximum(x_den, 1.0)
+            return action_loss + aux_loss, (action_loss, aux_loss)
+
+        (loss, (action_loss, aux_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if mesh is not None:
+            grads, loss, action_loss, aux_loss = jax.lax.psum(
+                (grads, loss, action_loss, aux_loss), DATA_AXIS
+            )
+        return grads, loss, action_loss, aux_loss
+
+    if mesh is None:
+        return loss_and_grads
+
+    data_spec = P(None, DATA_AXIS)  # [T, N] sharded on N
+    return shard_map(
+        loss_and_grads,
+        mesh=mesh,
+        in_specs=(P(), data_spec, data_spec, data_spec, data_spec, data_spec),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+
+def build_il_train_step(module, optimizer, num_layers: int, hidden: int,
+                        mesh: Optional[Mesh] = None) -> Callable:
     """Returns jitted fn(params, optim_state, obs_tn, prev[T,N], masks[T,N],
     corrected[T,N], weights[T,N]) -> (params, optim_state, loss, action_loss,
-    aux_loss), sharded over N."""
+    aux_loss). Sharded over N when mesh is given; shape-polymorphic (jit
+    recompiles per (T, N))."""
 
-    def local_step(params, optim_state, observations, prev_actions, masks, corrected, weights):
-        (loss, (action_loss, aux_loss)), grads = jax.value_and_grad(
-            il_loss_fn, argnums=1, has_aux=True
-        )(module, params, observations, prev_actions, masks, corrected, weights, num_layers, hidden)
-        grads = jax.lax.pmean(grads, DATA_AXIS)
-        loss = jax.lax.pmean(loss, DATA_AXIS)
-        action_loss = jax.lax.pmean(action_loss, DATA_AXIS)
-        aux_loss = jax.lax.pmean(aux_loss, DATA_AXIS)
+    loss_and_grads = _make_loss_and_grads(module, num_layers, hidden, mesh)
+
+    def train_step(params, optim_state, obs_tn, prev_tn, masks_tn, corrected, weights):
+        grads, loss, action_loss, aux_loss = loss_and_grads(
+            params, obs_tn, prev_tn, masks_tn, corrected, weights
+        )
         updates, optim_state = optimizer.update(grads, optim_state, params)
         params = optax.apply_updates(params, updates)
         return params, optim_state, loss, action_loss, aux_loss
 
-    data_spec = P(None, DATA_AXIS)  # [T, N] sharded on N
-    obs_spec = P(None, DATA_AXIS)
+    return jax.jit(train_step, donate_argnums=(0, 1))
 
-    sharded = shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P(), P(), obs_spec, data_spec, data_spec, data_spec, data_spec),
-        out_specs=(P(), P(), P(), P(), P()),
-        check_vma=False,
+
+def build_il_accum_step(module, optimizer, num_layers: int, hidden: int,
+                        apply: bool, mesh: Optional[Mesh] = None) -> Callable:
+    """Gradient-accumulation variant (RecollectTrainer): adds grads/accum_scale
+    into a device-resident pytree; applies Adam and zeroes it when `apply`."""
+
+    loss_and_grads = _make_loss_and_grads(module, num_layers, hidden, mesh)
+
+    def accum_step(params, optim_state, accum_grads, accum_scale,
+                   obs_tn, prev_tn, masks_tn, corrected, weights):
+        grads, loss, action_loss, aux_loss = loss_and_grads(
+            params, obs_tn, prev_tn, masks_tn, corrected, weights
+        )
+        grads = jax.tree_util.tree_map(lambda a, g: a + g / accum_scale, accum_grads, grads)
+        if apply:
+            updates, optim_state = optimizer.update(grads, optim_state, params)
+            params = optax.apply_updates(params, updates)
+            grads = jax.tree_util.tree_map(jnp.zeros_like, grads)
+        return params, optim_state, grads, loss, action_loss, aux_loss
+
+    return jax.jit(accum_step, donate_argnums=(0, 1, 2))
+
+
+def pad_batch_env_axis(obs_tn: Dict[str, jnp.ndarray], prev_tn, masks_tn,
+                       corrected, weights, multiple: int) -> Tuple:
+    """Pad the env axis N of a [T, N, ...] IL batch up to a multiple of the
+    data-axis size. Padded slots get zero inflection weights, so they are
+    excluded from both loss terms and gradients exactly."""
+    T, N = corrected.shape
+    target = -(-N // multiple) * multiple
+    if target == N:
+        return obs_tn, prev_tn, masks_tn, corrected, weights
+    pad_n = target - N
+
+    def pad(a):
+        width = [(0, 0)] * a.ndim
+        width[1] = (0, pad_n)
+        return jnp.pad(a, width)
+
+    return (
+        {k: pad(v) for k, v in obs_tn.items()},
+        pad(prev_tn), pad(masks_tn), pad(corrected), pad(weights),
     )
-    return jax.jit(sharded, donate_argnums=(0, 1))

@@ -37,6 +37,35 @@ def mesh_from_config(config) -> Mesh:
     return make_mesh(num_devices=num, model_parallel=model)
 
 
+def resolve_training_mesh(config) -> Optional[Mesh]:
+    """Mesh for data-parallel training, per TPU.MESH.DATA:
+
+    - 0 or 1: single-device (returns None)
+    - -1 (auto): all visible devices; None when only one is visible
+    - k > 1: exactly k data shards — RAISES when that many devices are not
+      available. A config that asks for multi-chip must not silently run
+      single-chip.
+    """
+    data = int(config.TPU.MESH.DATA)
+    model = max(1, int(config.TPU.MESH.MODEL))
+    n_avail = len(jax.devices())
+    if data in (0, 1):
+        return None
+    if data == -1:
+        n = (n_avail // model) * model
+        if n // model <= 1:
+            return None
+        return make_mesh(num_devices=n, model_parallel=model)
+    need = data * model
+    if need > n_avail:
+        raise RuntimeError(
+            f"TPU.MESH.DATA={data} (x MODEL={model}) requires {need} devices "
+            f"but only {n_avail} are visible ({jax.devices()}); set "
+            f"TPU.MESH.DATA=-1 for auto or 1 to force single-device"
+        )
+    return make_mesh(num_devices=need, model_parallel=model)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -71,11 +71,16 @@ class WDDPPO:
         return (adv - adv.mean()) / (adv.std() + 1e-5)
 
     # ------------------------------------------------------------- loss core
-    def _loss(self, params, sample, clip_param, T: int):
+    def _loss(self, params, sample, valid, clip_param, T: int):
+        """All loss terms are masked sum/global-count means over `valid`
+        ([n], 1.0 for real env slots, 0.0 for mesh padding), so the sharded
+        losses/grads equal the single-device ones exactly even when shards
+        carry different numbers of real envs."""
         (
             obs, hidden0, actions, prev_actions, value_preds, returns,
             masks, old_log_probs, adv_targ,
         ) = sample
+        n = valid.shape[0]
 
         def flat(v):
             return v.reshape((T * v.shape[1],) + v.shape[2:])
@@ -90,50 +95,62 @@ class WDDPPO:
             params, obs, hidden0, prev_actions, masks, actions, seq_len=T
         )
 
-        entropy_loss = (
+        v = jnp.broadcast_to(valid[None, :, None], (T, n, 1)).reshape(T * n, 1)
+        count = jnp.sum(v)
+        if self.mesh is not None:
+            count = jax.lax.psum(count, DATA_AXIS)
+        count = jnp.maximum(count, 1.0)
+
+        def mmean(x):
+            return jnp.sum(x.reshape(T * n, -1) * v) / count
+
+        entropy_loss = mmean(
             self.pano_entropy_coef * entropy["pano"]
             + self.offset_entropy_coef * entropy["offset"]
             + self.distance_entropy_coef * entropy["distance"]
-        ).mean() * self.cfg.entropy_coef
+        ) * self.cfg.entropy_coef
 
         ratio = jnp.exp(action_log_probs - old_log_probs)
         surr1 = ratio * adv_targ
         surr2 = jnp.clip(ratio, 1.0 - clip_param, 1.0 + clip_param) * adv_targ
-        action_loss = -jnp.minimum(surr1, surr2).mean()
+        action_loss = -mmean(jnp.minimum(surr1, surr2))
 
         if self.cfg.clip_value_loss:
             value_pred_clipped = value_preds + jnp.clip(
                 values - value_preds, -clip_param, clip_param
             )
-            value_loss = 0.5 * jnp.maximum(
+            value_loss = 0.5 * mmean(jnp.maximum(
                 (values - returns) ** 2, (value_pred_clipped - returns) ** 2
-            ).mean()
+            ))
         else:
-            value_loss = 0.5 * ((returns - values) ** 2).mean()
+            value_loss = 0.5 * mmean((returns - values) ** 2)
         value_loss = value_loss * self.cfg.value_loss_coef
 
         offset_loss = 0.0
         if "offset" in actions:
             offsets = offset_to_continuous(actions["offset"], self.policy.wypt_cfg, self.policy.num_panos)
-            offset_loss = self.offset_regularize_coef * jnp.abs(offsets).mean()
+            offset_loss = self.offset_regularize_coef * mmean(jnp.abs(offsets))
 
         total = value_loss + action_loss + offset_loss - entropy_loss
         stats = {
             "value_loss": value_loss,
             "action_loss": action_loss,
             "entropy_loss": entropy_loss,
-            "pano_entropy": entropy["pano"].mean(),
-            "offset_entropy": entropy["offset"].mean(),
-            "distance_entropy": entropy["distance"].mean(),
+            "pano_entropy": mmean(entropy["pano"]),
+            "offset_entropy": mmean(entropy["offset"]),
+            "distance_entropy": mmean(entropy["distance"]),
         }
         return total, stats
 
     def _build_step(self, T: int, n: int):
-        def local_step(params, optim_state, sample, clip_param):
-            (_, stats), grads = jax.value_and_grad(self._loss, has_aux=True)(params, sample, clip_param, T)
+        def local_step(params, optim_state, sample, valid, clip_param):
+            (_, stats), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                params, sample, valid, clip_param, T
+            )
             if self.mesh is not None:
-                grads = jax.lax.pmean(grads, DATA_AXIS)
-                stats = jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, DATA_AXIS), stats)
+                # losses are local-sum / global-count: psum completes the mean
+                grads = jax.lax.psum(grads, DATA_AXIS)
+                stats = jax.tree_util.tree_map(lambda x: jax.lax.psum(x, DATA_AXIS), stats)
             updates, optim_state = self.optimizer.update(grads, optim_state, params)
             params = optax.apply_updates(params, updates)
             return params, optim_state, stats
@@ -142,8 +159,8 @@ class WDDPPO:
             return jax.jit(local_step, donate_argnums=(0, 1))
 
         # shard the env axis of the minibatch over the DATA mesh axis:
-        # obs/actions/etc are [T, n, ...] (axis 1), hidden0 is [n, ...]
-        # (axis 0); params/opt state replicated; grads pmean'd in local_step.
+        # obs/actions/etc are [T, n, ...] (axis 1), hidden0/valid are [n, ...]
+        # (axis 0); params/opt state replicated; grads psum'd in local_step.
         sample_spec = (
             P(None, DATA_AXIS),  # obs dict leaves
             P(DATA_AXIS),  # hidden0
@@ -158,11 +175,39 @@ class WDDPPO:
         sharded = shard_map(
             local_step,
             mesh=self.mesh,
-            in_specs=(P(), P(), sample_spec, P()),
+            in_specs=(P(), P(), sample_spec, P(DATA_AXIS), P()),
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
         return jax.jit(sharded, donate_argnums=(0, 1))
+
+    # -------------------------------------------------------------- padding
+    def _pad_sample(self, dev_sample, n: int):
+        """Pad the minibatch env axis up to a multiple of the data-axis size
+        (instead of silently falling back to single-device); returns the
+        padded sample and the validity mask [n_padded]."""
+        shards = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+        target = -(-n // shards) * shards
+        valid = jnp.ones((target,), jnp.float32).at[n:].set(0.0) if target != n else jnp.ones((n,), jnp.float32)
+        if target == n:
+            return dev_sample, valid
+        pad_n = target - n
+
+        def pad_axis1(a):
+            width = [(0, 0)] * a.ndim
+            width[1] = (0, pad_n)
+            return jnp.pad(a, width)
+
+        obs, hidden0, actions, prev_actions, value_preds, returns, masks, old_lp, adv = dev_sample
+        hidden0 = jnp.pad(hidden0, [(0, pad_n)] + [(0, 0)] * (hidden0.ndim - 1))
+        return (
+            {k: pad_axis1(v) for k, v in obs.items()},
+            hidden0,
+            {k: pad_axis1(v) for k, v in actions.items()},
+            {k: pad_axis1(v) for k, v in prev_actions.items()},
+            pad_axis1(value_preds), pad_axis1(returns), pad_axis1(masks),
+            pad_axis1(old_lp), pad_axis1(adv),
+        ), valid
 
     # ------------------------------------------------------------------ update
     def update(self, rollouts, rng: np.random.RandomState, update_idx: int = 0):
@@ -190,11 +235,13 @@ class WDDPPO:
                     jnp.asarray(old_lp),
                     jnp.asarray(adv),
                 )
-                key = (T, n)
+                dev_sample, valid = self._pad_sample(dev_sample, n)
+                n_padded = int(valid.shape[0])
+                key = (T, n_padded)
                 if key not in self._step_cache:
-                    self._step_cache[key] = self._build_step(T, n)
+                    self._step_cache[key] = self._build_step(T, n_padded)
                 self.policy.params, self.optim_state, stats = self._step_cache[key](
-                    self.policy.params, self.optim_state, dev_sample, clip_param
+                    self.policy.params, self.optim_state, dev_sample, valid, clip_param
                 )
                 for k in agg:
                     agg[k] += float(stats[k])

@@ -58,6 +58,7 @@ class BaseVLNCETrainer:
         self.obs_transforms = []
         self.start_epoch = 0
         self.step_id = 0
+        self.mesh = None  # data-parallel device mesh; set by _initialize_policy
         self._rng = jax.random.PRNGKey(int(config.TASK_CONFIG.SEED))
 
     def _next_rng(self):
@@ -106,6 +107,16 @@ class BaseVLNCETrainer:
 
         self.optimizer = optax.adam(config.IL.lr)
         self.optim_state = self.optimizer.init(self.policy.params)
+
+        # data-parallel mesh for the jitted train steps (TPU.MESH.DATA:
+        # -1 auto, 1 single-device, k>1 fails loudly if unavailable)
+        from vlnce_tpu.parallel.mesh import resolve_training_mesh
+
+        self.mesh = resolve_training_mesh(config)
+        if self.mesh is not None:
+            logger.info(
+                f"Data-parallel mesh active: {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}"
+            )
 
         if load_from_ckpt:
             ckpt_path = config.IL.ckpt_to_load

@@ -16,7 +16,6 @@ for TPU:
 
 from __future__ import annotations
 
-import functools
 import gc
 import os
 from typing import Dict, List, Optional, Tuple
@@ -24,7 +23,6 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 import tqdm
 
 from vlnce_tpu.registry import registry
@@ -36,7 +34,6 @@ from vlnce_tpu.data.trajectory_store import (
     TrajectoryStoreWriter,
     store_length,
 )
-from vlnce_tpu.models.aux_losses import reduce_aux_losses
 from vlnce_tpu.ops.obs_transforms import apply_obs_transforms_batch, get_active_obs_transforms
 from vlnce_tpu.trainers.base_trainer import BaseVLNCETrainer
 from vlnce_tpu.utils.logging import logger
@@ -50,7 +47,7 @@ class DaggerTrainer(BaseVLNCETrainer):
             split=config.TASK_CONFIG.DATASET.SPLIT
         )
         super().__init__(config)
-        self._train_step_cache: Dict[Tuple[int, int], any] = {}
+        self._train_step = None  # built lazily once the policy exists
 
     # ------------------------------------------------------------------ train
     def train(self) -> None:
@@ -115,48 +112,39 @@ class DaggerTrainer(BaseVLNCETrainer):
                 reader.close()
 
     # ------------------------------------------------------- jitted update
-    def _build_train_step(self, T: int, N: int):
-        module = self.policy.module
-        optimizer = self.optimizer
-        num_layers = self.policy.num_recurrent_layers
-        hidden = self.policy.hidden_size
+    def _build_train_step(self):
+        """The production IL update: shared with the multi-chip dryrun
+        (parallel/il_step.py). Sharded over the env/batch axis when a
+        data-parallel mesh is active; shape-polymorphic under jit."""
+        from vlnce_tpu.parallel.il_step import build_il_train_step
 
-        def loss_fn(params, observations, prev_actions, masks, corrected, weights):
-            rnn_states = jnp.zeros((N, num_layers, hidden), jnp.float32)
-            logits, _, aux = module.apply(
-                {"params": params}, observations, rnn_states, prev_actions, masks, seq_len=T
-            )
-            logits = logits.reshape(T, N, -1)
-            log_probs = jax.nn.log_softmax(logits, axis=-1)
-            nll = -jnp.take_along_axis(log_probs, corrected[..., None], axis=-1).squeeze(-1)
-            action_loss = jnp.mean(jnp.sum(weights * nll, axis=0) / jnp.maximum(jnp.sum(weights, axis=0), 1e-8))
-            aux_mask = (weights > 0).reshape(-1).astype(jnp.float32)
-            aux_loss = reduce_aux_losses(aux, aux_mask)
-            total = action_loss + aux_loss
-            return total, (action_loss, aux_loss)
-
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, optim_state, observations, prev_actions, masks, corrected, weights):
-            (loss, (action_loss, aux_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, observations, prev_actions, masks, corrected, weights
-            )
-            updates, optim_state = optimizer.update(grads, optim_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, optim_state, loss, action_loss, aux_loss
-
-        return train_step
+        return build_il_train_step(
+            self.policy.module, self.optimizer,
+            self.policy.num_recurrent_layers, self.policy.hidden_size,
+            mesh=self.mesh,
+        )
 
     def _update_agent(self, observations, prev_actions, masks, corrected, weights) -> Tuple[float, float, float]:
+        from vlnce_tpu.parallel.il_step import pad_batch_env_axis
+        from vlnce_tpu.parallel.mesh import DATA_AXIS
+
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
         T, N = corrected.shape
-        key = (T, N)
-        if key not in self._train_step_cache:
-            self._train_step_cache[key] = self._build_train_step(T, N)
         obs_dev = apply_obs_transforms_batch(
             {k: jnp.asarray(v) for k, v in observations.items()}, self.obs_transforms
         )
-        params, optim_state, loss, action_loss, aux_loss = self._train_step_cache[key](
-            self.policy.params, self.optim_state, obs_dev,
-            jnp.asarray(prev_actions), jnp.asarray(masks), jnp.asarray(corrected), jnp.asarray(weights),
+        batch = (
+            {k: v.reshape((T, N) + v.shape[1:]) for k, v in obs_dev.items()},
+            jnp.asarray(prev_actions).reshape(T, N),
+            jnp.asarray(masks).reshape(T, N),
+            jnp.asarray(corrected),
+            jnp.asarray(weights),
+        )
+        if self.mesh is not None:
+            batch = pad_batch_env_axis(*batch, multiple=self.mesh.shape[DATA_AXIS])
+        params, optim_state, loss, action_loss, aux_loss = self._train_step(
+            self.policy.params, self.optim_state, *batch
         )
         self.policy.params = params
         self.optim_state = optim_state

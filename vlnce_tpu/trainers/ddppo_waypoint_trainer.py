@@ -40,7 +40,7 @@ from vlnce_tpu.ops.obs_transforms import (
     apply_obs_transforms_obs_space,
     get_active_obs_transforms,
 )
-from vlnce_tpu.parallel.mesh import mesh_from_config
+from vlnce_tpu.parallel.mesh import resolve_training_mesh
 from vlnce_tpu.rl.ppo import WDDPPO
 from vlnce_tpu.rl.rollout_storage import ActionDictRolloutStorage
 from vlnce_tpu.trainers.base_trainer import BaseVLNCETrainer
@@ -104,16 +104,10 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
             ckpt = load_checkpoint(ckpt_path)
             self.policy.params = jax.tree_util.tree_map(jnp.asarray, ckpt["state_dict"])
             logger.info(f"Loaded waypoint policy from {ckpt_path}")
-        mesh = None
-        try:
-            n_dev = len(jax.devices())
-            envs_per_mb = max(1, config.NUM_ENVIRONMENTS // config.RL.PPO.num_mini_batch)
-            # shard the PPO update only when the minibatch env axis divides
-            # evenly over the data axis; otherwise run single-device
-            if n_dev > 1 and envs_per_mb % n_dev == 0:
-                mesh = mesh_from_config(config)
-        except Exception:
-            mesh = None
+        # data-parallel mesh per TPU.MESH.DATA (-1 auto, k>1 fails loudly if
+        # unavailable); minibatches whose env axis doesn't divide the data
+        # axis are PADDED in WDDPPO._pad_sample, never silently single-device
+        mesh = resolve_training_mesh(config)
         self.agent = WDDPPO(
             self.policy,
             config.RL.PPO,

@@ -12,7 +12,6 @@ every `accumulation` micro-batches.
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 from typing import Dict, Tuple
@@ -20,12 +19,10 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 import tqdm
 
 from vlnce_tpu.registry import registry
 from vlnce_tpu.data.recollection import TeacherRecollectionDataset
-from vlnce_tpu.models.aux_losses import reduce_aux_losses
 from vlnce_tpu.ops.obs_transforms import apply_obs_transforms_batch
 from vlnce_tpu.trainers.base_trainer import BaseVLNCETrainer
 from vlnce_tpu.utils.logging import logger
@@ -36,40 +33,18 @@ from vlnce_tpu.utils.tensorboard import TensorboardWriter
 class RecollectTrainer(BaseVLNCETrainer):
     def __init__(self, config):
         super().__init__(config)
-        self._step_cache: Dict[Tuple[int, int, bool], any] = {}
+        self._step_cache: Dict[bool, any] = {}
 
-    def _build_accum_step(self, T: int, N: int, apply: bool):
-        module = self.policy.module
-        optimizer = self.optimizer
-        num_layers = self.policy.num_recurrent_layers
-        hidden = self.policy.hidden_size
+    def _build_accum_step(self, apply: bool):
+        """Shared IL accumulation step (parallel/il_step.py): sharded over the
+        env/batch axis when a data-parallel mesh is active."""
+        from vlnce_tpu.parallel.il_step import build_il_accum_step
 
-        def loss_fn(params, observations, prev_actions, masks, corrected, weights):
-            rnn_states = jnp.zeros((N, num_layers, hidden), jnp.float32)
-            logits, _, aux = module.apply(
-                {"params": params}, observations, rnn_states, prev_actions, masks, seq_len=T
-            )
-            logits = logits.reshape(T, N, -1)
-            log_probs = jax.nn.log_softmax(logits, axis=-1)
-            nll = -jnp.take_along_axis(log_probs, corrected[..., None], axis=-1).squeeze(-1)
-            action_loss = jnp.mean(jnp.sum(weights * nll, axis=0) / jnp.maximum(jnp.sum(weights, axis=0), 1e-8))
-            aux_mask = (weights > 0).reshape(-1).astype(jnp.float32)
-            aux_loss = reduce_aux_losses(aux, aux_mask)
-            return action_loss + aux_loss, (action_loss, aux_loss)
-
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-        def step(params, optim_state, accum_grads, accum_scale, observations, prev_actions, masks, corrected, weights):
-            (loss, (action_loss, aux_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, observations, prev_actions, masks, corrected, weights
-            )
-            grads = jax.tree_util.tree_map(lambda a, g: a + g / accum_scale, accum_grads, grads)
-            if apply:
-                updates, optim_state = optimizer.update(grads, optim_state, params)
-                params = optax.apply_updates(params, updates)
-                grads = jax.tree_util.tree_map(jnp.zeros_like, grads)
-            return params, optim_state, grads, loss, action_loss, aux_loss
-
-        return step
+        return build_il_accum_step(
+            self.policy.module, self.optimizer,
+            self.policy.num_recurrent_layers, self.policy.hidden_size,
+            apply=apply, mesh=self.mesh,
+        )
 
     def train(self) -> None:
         config = self.config.defrost()
@@ -109,19 +84,29 @@ class RecollectTrainer(BaseVLNCETrainer):
                     observations, prev_actions, masks, corrected, weights = batch
                     T, N = corrected.shape
                     apply = accumulation == 1 or (batch_idx + 1) % accumulation == 0
-                    key = (T, N, apply)
-                    if key not in self._step_cache:
-                        self._step_cache[key] = self._build_accum_step(T, N, apply)
+                    if apply not in self._step_cache:
+                        self._step_cache[apply] = self._build_accum_step(apply)
                     obs_dev = apply_obs_transforms_batch(
                         {k: jnp.asarray(v) for k, v in observations.items()}, self.obs_transforms
                     )
+                    dev_batch = (
+                        {k: v.reshape((T, N) + v.shape[1:]) for k, v in obs_dev.items()},
+                        jnp.asarray(prev_actions).reshape(T, N),
+                        jnp.asarray(masks).reshape(T, N),
+                        jnp.asarray(corrected),
+                        jnp.asarray(weights),
+                    )
+                    if self.mesh is not None:
+                        from vlnce_tpu.parallel.il_step import pad_batch_env_axis
+                        from vlnce_tpu.parallel.mesh import DATA_AXIS
+
+                        dev_batch = pad_batch_env_axis(*dev_batch, multiple=self.mesh.shape[DATA_AXIS])
                     (
                         self.policy.params, self.optim_state, accum_grads,
                         loss, action_loss, aux_loss,
-                    ) = self._step_cache[key](
+                    ) = self._step_cache[apply](
                         self.policy.params, self.optim_state, accum_grads, float(accumulation),
-                        obs_dev, jnp.asarray(prev_actions), jnp.asarray(masks),
-                        jnp.asarray(corrected), jnp.asarray(weights),
+                        *dev_batch,
                     )
                     losses.append(float(loss))
                     writer.add_scalar("train_loss", float(loss), self.step_id)
