@@ -108,6 +108,8 @@ def test_waypoint_trainer_updates(tmp_path):
         "MODEL.INSTRUCTION_ENCODER.vocab_size", 64,
         "MODEL.INSTRUCTION_ENCODER.bidirectional", True,
         "MODEL.INSTRUCTION_ENCODER.final_state_only", False,
+        # exercise the two-group pipelined rollout path end-to-end
+        "TPU.PIPELINED_COLLECTION", True,
     ]
     cfg = get_config(opts=opts)
     trainer = registry.get_trainer("ddppo-waypoint")(cfg)
@@ -141,3 +143,22 @@ class _NullWriter:
 
     def add_video_from_np_images(self, *a, **k):
         pass
+
+
+def test_dagger_collection_serial_matches_pipelined(tmp_path):
+    """TPU.PIPELINED_COLLECTION=False must still collect the same number of
+    episodes through the same store schema (the serial fallback path)."""
+    from vlnce_tpu.data.trajectory_store import TrajectoryStoreReader, store_length
+
+    counts = {}
+    for flag in (True, False):
+        tmp = str(tmp_path / f"pipe_{flag}")
+        cfg = get_config(opts=base_opts(tmp, ["TPU.PIPELINED_COLLECTION", flag]))
+        trainer = registry.get_trainer("dagger")(cfg)
+        trainer.train()
+        counts[flag] = store_length(f"{tmp}/traj")
+        reader = TrajectoryStoreReader(f"{tmp}/traj")
+        obs, prev, oracle = reader.get(0)
+        assert len(prev) == len(oracle) and len(prev) > 0
+        reader.close()
+    assert counts[True] == counts[False] == 4

@@ -98,3 +98,17 @@ def test_step_at_async_overlap(envs):
     assert len(out0) == 1
     obs, reward, done, info = out0[0]
     assert "rgb" in obs
+
+
+def test_two_groups_in_flight(envs):
+    """The two-group pipelined collection cycle: both groups dispatched
+    before either is received, repeatedly (in-flight results must not
+    clobber each other)."""
+    envs.reset()
+    for _ in range(3):
+        envs.step_at_async([0], [1])
+        envs.step_at_async([1], [2])
+        out0 = envs.recv_at([0])
+        out1 = envs.recv_at([1])
+        assert len(out0) == 1 and len(out1) == 1
+        assert "rgb" in out0[0][0] and "rgb" in out1[0][0]

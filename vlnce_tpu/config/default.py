@@ -80,6 +80,13 @@ _C.TPU.PRECISION = CN()
 _C.TPU.PRECISION.compute_dtype = "bfloat16"  # activations/matmuls
 _C.TPU.PRECISION.param_dtype = "float32"  # master weights
 _C.TPU.DONATE_BUFFERS = True
+# two-group double-buffered collection: one env group's sims step while the
+# device runs the other group's fused act (DAgger collection + RL rollouts).
+# Wins ~act_time/2 per step when the act is compute-bound and sims are slow
+# (host-attached chip + habitat-class sims); LOSES when device dispatch is
+# latency-bound (remote-attached chip) because two half-batch dispatches pay
+# the round-trip twice — see PERFORMANCE.md for measurements. Default off.
+_C.TPU.PIPELINED_COLLECTION = False
 # pad env batch to a fixed size so pause_at never retriggers compilation
 _C.TPU.PAD_ENV_BATCH = True
 _C.TPU.PROFILE_DIR = ""  # if set, write jax.profiler traces here

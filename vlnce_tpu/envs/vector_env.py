@@ -325,8 +325,11 @@ class ThreadedVectorEnv:
         return out
 
     def step_at_async(self, indices, actions) -> None:
-        # threaded envs run synchronously; buffer the results for recv_at
-        self._pending = {tuple(indices): self.step_at(indices, actions)}
+        # threaded envs run synchronously; buffer the results for recv_at.
+        # multiple groups can be in flight (two-group pipelined collection)
+        if not hasattr(self, "_pending") or self._pending is None:
+            self._pending = {}
+        self._pending[tuple(indices)] = self.step_at(indices, actions)
 
     def recv_at(self, indices):
         return self._pending.pop(tuple(indices))

@@ -160,10 +160,6 @@ class DaggerTrainer(BaseVLNCETrainer):
         expert_uuid = config.IL.DAGGER.expert_policy_sensor_uuid
 
         N = envs.num_envs
-        rnn_states = self.policy.initial_rnn_states(N)
-        prev_actions = jnp.zeros((N, 1), jnp.int32)
-        not_done_masks = jnp.zeros((N, 1), jnp.float32)
-
         observations = envs.reset()
         obs_host = stack_obs(observations)
         per_env_obs = observations
@@ -172,6 +168,16 @@ class DaggerTrainer(BaseVLNCETrainer):
         skips = [False] * N
         dones = [False] * N
         active = [True] * N
+
+        # two-group pipelined collection (SURVEY.md §7 hard part 3): while one
+        # group's sims execute, the device runs the other group's fused act —
+        # min(device_step, sim_step) saved per cycle. One group = the serial
+        # path with identical semantics.
+        pipelined = bool(config.TPU.PIPELINED_COLLECTION) and N >= 2
+        bounds = [(0, N // 2), (N // 2, N)] if pipelined else [(0, N)]
+        g_rnn = [self.policy.initial_rnn_states(hi - lo) for lo, hi in bounds]
+        g_prev = [jnp.zeros((hi - lo, 1), jnp.int32) for lo, hi in bounds]
+        g_masks = [jnp.zeros((hi - lo, 1), jnp.float32) for lo, hi in bounds]
 
         p = config.IL.DAGGER.p
         beta = 0.0 if p == 0.0 else p**data_it
@@ -205,95 +211,117 @@ class DaggerTrainer(BaseVLNCETrainer):
             ep_ids_collected = {ep.episode_id for ep in envs.current_episodes()}
 
         pbar = tqdm.tqdm(total=config.IL.DAGGER.update_size, dynamic_ncols=True)
+        store_dtype = jnp.float16 if config.IL.DAGGER.lmdb_fp16 else jnp.float32
 
-        while collected_eps < config.IL.DAGGER.update_size and any(active):
-            # flush finished episodes to the store
-            for i in range(N):
-                if not active[i]:
-                    continue
-                if dones[i] and not skips[i]:
-                    ep = episodes[i]
-                    traj_obs: Dict[str, np.ndarray] = {}
-                    for k in ep[0][0].keys():
-                        if k == expert_uuid:
-                            continue
-                        arr = np.stack([np.asarray(step[0][k]) for step in ep], axis=0)
-                        if config.IL.DAGGER.lmdb_fp16 and arr.dtype == np.float32:
-                            arr = arr.astype(np.float16)
-                        traj_obs[k] = arr
-                    writer.put(
-                        [
-                            traj_obs,
-                            np.array([step[1] for step in ep], dtype=np.int64),
-                            np.array([step[2] for step in ep], dtype=np.int64),
-                        ]
-                    )
-                    collected_eps += 1
-                    pbar.update()
-                    if collected_eps % config.IL.DAGGER.lmdb_commit_frequency == 0:
-                        writer.commit()
-                    if ensure_unique_episodes:
-                        new_ep = envs.call_at(i, "current_episode")
-                        if new_ep.episode_id in ep_ids_collected:
-                            active[i] = False
-                        else:
-                            ep_ids_collected.add(new_ep.episode_id)
-                if dones[i]:
-                    episodes[i] = []
-
-            if collected_eps >= config.IL.DAGGER.update_size or not any(active):
-                break
-
-            with timers.time("pth_time"):
-                actions, rnn_states, feats, expert_actions = collect_step(
-                    self.policy.params, {k: jnp.asarray(v) for k, v in obs_host.items()},
-                    rnn_states, prev_actions, not_done_masks,
-                    self._next_rng(), jnp.float32(beta),
+        def flush_episode(i: int) -> None:
+            """Write env i's finished episode to the store; deactivate the
+            slot when its next episode is a duplicate (ensure_unique)."""
+            nonlocal collected_eps
+            if dones[i] and not skips[i]:
+                ep = episodes[i]
+                traj_obs: Dict[str, np.ndarray] = {}
+                for k in ep[0][0].keys():
+                    if k == expert_uuid:
+                        continue
+                    arr = np.stack([np.asarray(step[0][k]) for step in ep], axis=0)
+                    if config.IL.DAGGER.lmdb_fp16 and arr.dtype == np.float32:
+                        arr = arr.astype(np.float16)
+                    traj_obs[k] = arr
+                writer.put(
+                    [
+                        traj_obs,
+                        np.array([step[1] for step in ep], dtype=np.int64),
+                        np.array([step[2] for step in ep], dtype=np.int64),
+                    ]
                 )
+                collected_eps += 1
+                pbar.update()
+                if collected_eps % config.IL.DAGGER.lmdb_commit_frequency == 0:
+                    writer.commit()
+                if ensure_unique_episodes:
+                    new_ep = envs.call_at(i, "current_episode")
+                    if new_ep.episode_id in ep_ids_collected:
+                        active[i] = False
+                    else:
+                        ep_ids_collected.add(new_ep.episode_id)
+            if dones[i]:
+                episodes[i] = []
 
-            # bf16 device features -> a numpy-serializable dtype for the store
-            store_dtype = jnp.float16 if config.IL.DAGGER.lmdb_fp16 else jnp.float32
-            rgb_feats = (
-                np.asarray(feats["rgb_features"].astype(store_dtype))
-                if cache_rgb and "rgb_features" in feats else None
-            )
-            depth_feats = (
-                np.asarray(feats["depth_features"].astype(store_dtype))
-                if cache_depth and "depth_features" in feats else None
-            )
+        pending: List[Optional[List[int]]] = [None] * len(bounds)
+        stop = False
+        while not stop:
+            for gi, (lo, hi) in enumerate(bounds):
+                # receive this group's in-flight env steps (none on cycle 0)
+                if pending[gi] is not None:
+                    with timers.time("env_time"):
+                        stepped = envs.recv_at(pending[gi])
+                    for i, (obs, _, done, _) in zip(pending[gi], stepped):
+                        per_env_obs[i] = obs
+                        dones[i] = done
+                        for k, v in obs.items():
+                            obs_host[k][i] = np.asarray(v)
+                    g_masks[gi] = jnp.asarray(
+                        np.array([[0.0] if dones[i] else [1.0] for i in range(lo, hi)], np.float32)
+                    )
+                    pending[gi] = None
 
-            expert_np = np.asarray(expert_actions).reshape(-1)
-            prev_np = np.asarray(prev_actions).reshape(-1)
-            for i in range(N):
-                if not active[i]:
+                for i in range(lo, hi):
+                    if active[i]:
+                        flush_episode(i)
+                if collected_eps >= config.IL.DAGGER.update_size or not any(active):
+                    stop = True
+                    break
+                if not any(active[lo:hi]):
                     continue
-                step_obs = dict(per_env_obs[i])
-                if rgb_feats is not None:
-                    step_obs["rgb_features"] = rgb_feats[i]
-                    step_obs.pop("rgb", None)
-                if depth_feats is not None:
-                    step_obs["depth_features"] = depth_feats[i]
-                    step_obs.pop("depth", None)
-                episodes[i].append((step_obs, int(prev_np[i]), int(expert_np[i])))
 
-            # skip episodes where the expert has no path (expert == -1)
-            skips = [bool(expert_np[i] == -1) for i in range(N)]
-            actions_np = np.asarray(actions).reshape(-1).copy()
-            actions_np[np.asarray(skips)] = 0
-            prev_actions = jnp.asarray(actions_np.reshape(-1, 1))
+                # fused transforms+act+mix on this group's slice — while the
+                # OTHER group's sims are stepping (pipelined overlap)
+                with timers.time("pth_time"):
+                    actions, g_rnn[gi], feats, expert_actions = collect_step(
+                        self.policy.params,
+                        {k: jnp.asarray(v[lo:hi]) for k, v in obs_host.items()},
+                        g_rnn[gi], g_prev[gi], g_masks[gi],
+                        self._next_rng(), jnp.float32(beta),
+                    )
+                    # bf16 device features -> a serializable dtype for the store
+                    rgb_feats = (
+                        np.asarray(feats["rgb_features"].astype(store_dtype))
+                        if cache_rgb and "rgb_features" in feats else None
+                    )
+                    depth_feats = (
+                        np.asarray(feats["depth_features"].astype(store_dtype))
+                        if cache_depth and "depth_features" in feats else None
+                    )
+                    expert_np = np.asarray(expert_actions).reshape(-1)
+                    prev_np = np.asarray(g_prev[gi]).reshape(-1)
 
-            active_ids = [i for i in range(N) if active[i]]
-            with timers.time("env_time"):
-                stepped = envs.step_at(active_ids, [int(actions_np[i]) for i in active_ids])
-            dones = [False] * N
-            for i, (obs, _, done, _) in zip(active_ids, stepped):
-                per_env_obs[i] = obs
-                dones[i] = done
-                for k, v in obs.items():
-                    obs_host[k][i] = np.asarray(v)
-            not_done_masks = jnp.asarray(
-                np.array([[0.0] if dones[i] else [1.0] for i in range(N)], np.float32)
-            )
+                for i in range(lo, hi):
+                    if not active[i]:
+                        continue
+                    step_obs = dict(per_env_obs[i])
+                    if rgb_feats is not None:
+                        step_obs["rgb_features"] = rgb_feats[i - lo]
+                        step_obs.pop("rgb", None)
+                    if depth_feats is not None:
+                        step_obs["depth_features"] = depth_feats[i - lo]
+                        step_obs.pop("depth", None)
+                    episodes[i].append((step_obs, int(prev_np[i - lo]), int(expert_np[i - lo])))
+
+                # skip episodes where the expert has no path (expert == -1)
+                group_skips = [bool(expert_np[i - lo] == -1) for i in range(lo, hi)]
+                skips[lo:hi] = group_skips
+                actions_np = np.asarray(actions).reshape(-1).copy()
+                actions_np[np.asarray(group_skips)] = 0
+                g_prev[gi] = jnp.asarray(actions_np.reshape(-1, 1))
+
+                active_ids = [i for i in range(lo, hi) if active[i]]
+                envs.step_at_async(active_ids, [int(actions_np[i - lo]) for i in active_ids])
+                pending[gi] = active_ids
+
+        # drain in-flight steps so workers aren't mid-message at close
+        for ids in pending:
+            if ids:
+                envs.recv_at(ids)
 
         writer.close()
         pbar.close()

@@ -167,9 +167,21 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
             "rgb": np.zeros_like(rollouts.observations["rgb_history"][0]),
             "depth": np.zeros_like(rollouts.observations["depth_history"][0]),
         }
-        self._dev_batch, host_batch = self._prepare_batch(observations, obs_history)
-        for k, v in host_batch.items():
-            rollouts.observations[k][0] = v
+        # two-group pipelined rollout collection: group A's sims step while
+        # the device runs group B's act (TPU.PIPELINED_COLLECTION); the device
+        # obs batch is carried per group so no re-upload happens per step
+        pipelined = bool(config.TPU.PIPELINED_COLLECTION) and N >= 2
+        self._group_bounds = [(0, N // 2), (N // 2, N)] if pipelined else [(0, N)]
+        self._dev_batches = []
+        host_parts = []
+        for lo, hi in self._group_bounds:
+            dev_g, host_g = self._prepare_batch(
+                observations[lo:hi], {k: v[lo:hi] for k, v in obs_history.items()}
+            )
+            self._dev_batches.append(dev_g)
+            host_parts.append(host_g)
+        for k in host_parts[0]:
+            rollouts.observations[k][0] = np.concatenate([p[k] for p in host_parts], axis=0)
 
         current_episode_reward = np.zeros((N, 1), np.float32)
         running_episode_stats = {
@@ -266,43 +278,81 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
 
     # --------------------------------------------------------- rollout step
     def _collect_rollout_step(self, rollouts, current_episode_reward, running_episode_stats) -> Tuple[float, float]:
-        t0 = time.time()
         N = self.envs.num_envs
-        # device copy of the current obs is carried from _prepare_batch; no
-        # host->device re-upload per step
-        step_obs = self._dev_batch
-        step_prev = {k: jnp.asarray(v[rollouts.step]) for k, v in rollouts.prev_actions.items()}
-        out = self.policy.act(
-            step_obs, jnp.asarray(rollouts.recurrent_hidden_states[rollouts.step]),
-            step_prev, jnp.asarray(rollouts.masks[rollouts.step]),
-            deterministic=False, rng=self._next_rng(),
-        )
-        actions = WaypointPolicy.actions_to_env(out)
-        pth_time = time.time() - t0
+        step = rollouts.step
+        rgb_np = rollouts.observations["rgb"][step]
+        depth_np = rollouts.observations["depth"][step]
+        pth_time = env_time = 0.0
 
-        # history frame: the pano frame the agent moved toward (reference
-        # ddppo_waypoint_trainer.py:190-200); zeros on STOP
-        pano_np = np.asarray(out["action_elements"]["pano"]).astype(np.int64).reshape(-1)
-        stop_np = np.asarray(out["stop"]).reshape(-1)
-        rgb_np = rollouts.observations["rgb"][rollouts.step]
-        depth_np = rollouts.observations["depth"][rollouts.step]
-        obs_history = {
-            "rgb": np.zeros_like(rgb_np[:, 0]),
-            "depth": np.zeros_like(depth_np[:, 0]),
-        }
-        for i in range(N):
-            if not stop_np[i]:
-                idx = int(pano_np[i]) % rgb_np.shape[1]
-                obs_history["rgb"][i] = rgb_np[i, idx]
-                obs_history["depth"][i] = depth_np[i, idx]
+        # phase 1 — per group: fused act on the carried device batch, then
+        # DISPATCH the env steps without waiting. While group A's sims
+        # execute, the device runs group B's act (pipelined overlap).
+        outs: List[Dict] = []
+        hist_groups: List[Dict[str, np.ndarray]] = []
+        for gi, (lo, hi) in enumerate(self._group_bounds):
+            t0 = time.time()
+            step_prev = {k: jnp.asarray(v[step][lo:hi]) for k, v in rollouts.prev_actions.items()}
+            out = self.policy.act(
+                self._dev_batches[gi],
+                jnp.asarray(rollouts.recurrent_hidden_states[step][lo:hi]),
+                step_prev, jnp.asarray(rollouts.masks[step][lo:hi]),
+                deterministic=False, rng=self._next_rng(),
+            )
+            actions = WaypointPolicy.actions_to_env(out)
 
-        t1 = time.time()
-        outputs = self.envs.step(actions)
-        observations, rewards, dones, infos = [list(x) for x in zip(*outputs)]
-        env_time = time.time() - t1
+            # history frame: the pano frame the agent moved toward (reference
+            # ddppo_waypoint_trainer.py:190-200); zeros on STOP
+            pano_np = np.asarray(out["action_elements"]["pano"]).astype(np.int64).reshape(-1)
+            stop_np = np.asarray(out["stop"]).reshape(-1)
+            hist = {
+                "rgb": np.zeros_like(rgb_np[lo:hi, 0]),
+                "depth": np.zeros_like(depth_np[lo:hi, 0]),
+            }
+            for i in range(hi - lo):
+                if not stop_np[i]:
+                    idx = int(pano_np[i]) % rgb_np.shape[1]
+                    hist["rgb"][i] = rgb_np[lo + i, idx]
+                    hist["depth"][i] = depth_np[lo + i, idx]
+            pth_time += time.time() - t0
+
+            self.envs.step_at_async(list(range(lo, hi)), actions)
+            outs.append(out)
+            hist_groups.append(hist)
+
+        # phase 2 — per group: receive env results, re-prepare the device
+        # batch (transform dispatch overlaps the other group's sims)
+        observations: List = [None] * N
+        rewards: List = [0.0] * N
+        dones: List = [False] * N
+        infos: List = [{}] * N
+        host_parts: List[Dict[str, np.ndarray]] = []
+        for gi, (lo, hi) in enumerate(self._group_bounds):
+            t1 = time.time()
+            stepped = self.envs.recv_at(list(range(lo, hi)))
+            env_time += time.time() - t1
+            t2 = time.time()
+            for i, (obs, reward, done, info) in zip(range(lo, hi), stepped):
+                observations[i] = obs
+                rewards[i] = reward
+                dones[i] = done
+                infos[i] = info
+            self._dev_batches[gi], host_g = self._prepare_batch(
+                observations[lo:hi], hist_groups[gi]
+            )
+            host_parts.append(host_g)
+            pth_time += time.time() - t2
 
         t2 = time.time()
-        self._dev_batch, batch = self._prepare_batch(observations, obs_history)
+        batch = {k: np.concatenate([p[k] for p in host_parts], axis=0) for k in host_parts[0]}
+        out = {
+            "rnn_states": np.concatenate([np.asarray(o["rnn_states"]) for o in outs], axis=0),
+            "action_log_probs": np.concatenate([np.asarray(o["action_log_probs"]) for o in outs], axis=0),
+            "value": np.concatenate([np.asarray(o["value"]) for o in outs], axis=0),
+            "action_elements": {
+                k: np.concatenate([np.asarray(o["action_elements"][k]) for o in outs], axis=0)
+                for k in outs[0]["action_elements"]
+            },
+        }
         rewards_np = np.asarray(rewards, np.float32).reshape(N, 1)
         masks_np = np.asarray([[0.0] if d else [1.0] for d in dones], np.float32)
 
