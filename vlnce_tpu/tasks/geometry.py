@@ -67,6 +67,34 @@ def quat_from_heading(heading: float) -> np.ndarray:
     return quat_from_angle_axis(heading, UP)
 
 
+def angle_between_quaternions(q1: np.ndarray, q2: np.ndarray) -> float:
+    """Rotation angle between two unit quaternions (habitat
+    geometry_utils.angle_between_quaternions equivalent)."""
+    dot = abs(float(np.dot(q1, q2)))
+    return 2.0 * math.acos(min(1.0, max(-1.0, dot)))
+
+
+def quat_from_two_vectors(v0: Vec, v1: Vec) -> np.ndarray:
+    """Quaternion rotating v0 onto v1 (habitat
+    geometry_utils.quaternion_from_two_vectors equivalent)."""
+    v0 = np.asarray(v0, dtype=np.float64)
+    v1 = np.asarray(v1, dtype=np.float64)
+    v0 = v0 / np.linalg.norm(v0)
+    v1 = v1 / np.linalg.norm(v1)
+    c = float(np.dot(v0, v1))
+    if c < -1 + 1e-8:
+        # opposite vectors: rotate pi around any orthogonal axis
+        axis = np.cross(np.array([1.0, 0.0, 0.0]), v0)
+        if np.linalg.norm(axis) < 1e-8:
+            axis = np.cross(np.array([0.0, 1.0, 0.0]), v0)
+        axis = axis / np.linalg.norm(axis)
+        return np.array([axis[0], axis[1], axis[2], 0.0])
+    axis = np.cross(v0, v1)
+    s = math.sqrt((1.0 + c) * 2.0)
+    q = np.array([axis[0] / s, axis[1] / s, axis[2] / s, s * 0.5])
+    return q / np.linalg.norm(q)
+
+
 def heading_from_quaternion(q: np.ndarray) -> float:
     """Heading angle phi in [0, 2pi).
 

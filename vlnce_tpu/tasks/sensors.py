@@ -157,11 +157,17 @@ class ShortestPathSensor(Sensor):
     cls_uuid = "shortest_path_sensor"
 
     def __init__(self, *args: Any, sim: Simulator, config=None, **kwargs: Any):
-        from vlnce_tpu.tasks.shortest_path_follower import ShortestPathFollower
+        from vlnce_tpu.tasks.shortest_path_follower import (
+            ShortestPathFollower,
+            ShortestPathFollowerCompat,
+        )
 
-        # USE_ORIGINAL_FOLLOWER selected the legacy v0.1.4-compat follower in
-        # the reference; both map to the same geodesic follower here.
-        self.follower = ShortestPathFollower(sim, float(config.GOAL_RADIUS), return_one_hot=False)
+        # USE_ORIGINAL_FOLLOWER selects the legacy v0.1.4-compat expert for
+        # dataset-generation parity (reference sensors.py:136-138)
+        cls = ShortestPathFollower
+        if bool(getattr(config, "USE_ORIGINAL_FOLLOWER", False)):
+            cls = ShortestPathFollowerCompat
+        self.follower = cls(sim, float(config.GOAL_RADIUS), return_one_hot=False)
         super().__init__(config=config)
 
     def _get_observation_space(self) -> spaces.Space:
