@@ -53,10 +53,21 @@ def run_exp(exp_config: str, run_type: str, opts=None) -> None:
 
     ensure_registered()
 
+    # multi-host init (jax.distributed over SLURM / TPU-pod env vars) must
+    # run before any device use so the global mesh spans all hosts; a no-op
+    # on single-host runs (reference init_distrib_slurm analog,
+    # ddppo_waypoint_trainer.py:310)
+    from vlnce_tpu.parallel.distributed import init_distributed
+
+    multihost = init_distributed()
+
     config = get_config(exp_config, opts)
     logger.info(f"config: {config.dump()}" if config.VERBOSE else f"run_type: {run_type}")
     if config.LOG_FILE:
-        logger.add_filehandler(config.LOG_FILE)
+        log_file = config.LOG_FILE
+        if multihost:
+            log_file = f"{log_file}.rank{jax.process_index()}"
+        logger.add_filehandler(log_file)
 
     random.seed(config.TASK_CONFIG.SEED)
     np.random.seed(config.TASK_CONFIG.SEED)
