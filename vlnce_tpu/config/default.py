@@ -130,6 +130,9 @@ _C.IL.epochs = 4
 _C.IL.use_iw = True
 # inflection coefficient: 3.2 for R2R GT trajectories, 1.9 for RxR guide
 _C.IL.inflection_weight_coef = 3.2
+# batches decoded ahead by the background prefetch thread (the TPU analog of
+# the reference's 3 DataLoader workers, dagger_trainer.py:539); 0 = inline
+_C.IL.prefetch_batches = 3
 _C.IL.load_from_ckpt = False
 _C.IL.ckpt_to_load = "data/checkpoints/ckpt.0.pth"
 _C.IL.is_requeue = False

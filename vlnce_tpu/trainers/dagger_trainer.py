@@ -29,6 +29,7 @@ from vlnce_tpu.registry import registry
 from vlnce_tpu.envs.batch import stack_obs
 from vlnce_tpu.envs.env_utils import construct_envs, get_env_class
 from vlnce_tpu.data.collate import TrajectoryBatchIterator
+from vlnce_tpu.data.prefetch import PrefetchIterator
 from vlnce_tpu.data.trajectory_store import (
     TrajectoryStoreReader,
     TrajectoryStoreWriter,
@@ -92,6 +93,9 @@ class DaggerTrainer(BaseVLNCETrainer):
                     inflection_weight_coef=config.IL.inflection_weight_coef,
                     seed=config.TASK_CONFIG.SEED + dagger_it,
                 )
+                # store read + msgpack decode + collate run in a background
+                # thread, overlapping the jitted update (IL.prefetch_batches)
+                diter = PrefetchIterator(diter, depth=config.IL.prefetch_batches)
                 for epoch in tqdm.trange(config.IL.epochs, dynamic_ncols=True):
                     for batch in tqdm.tqdm(diter, total=len(diter), leave=False, dynamic_ncols=True):
                         observations, prev_actions, masks, corrected, weights = batch

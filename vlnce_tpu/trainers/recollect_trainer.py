@@ -77,8 +77,17 @@ class RecollectTrainer(BaseVLNCETrainer):
             for epoch in range(self.start_epoch, config.IL.epochs):
                 t_epoch = time.time()
                 losses = []
+                # live re-simulation runs in a background thread, overlapping
+                # sim stepping with the jitted update (IL.prefetch_batches;
+                # the analog of the reference's DataLoader worker,
+                # recollect_trainer.py:86)
+                from vlnce_tpu.data.prefetch import PrefetchIterator
+
+                batches = PrefetchIterator(
+                    dataset.batches(batches_per_epoch), depth=config.IL.prefetch_batches
+                )
                 for batch_idx, batch in enumerate(
-                    tqdm.tqdm(dataset.batches(batches_per_epoch), total=batches_per_epoch,
+                    tqdm.tqdm(batches, total=batches_per_epoch,
                               desc=f"epoch {epoch}", dynamic_ncols=True)
                 ):
                     observations, prev_actions, masks, corrected, weights = batch
