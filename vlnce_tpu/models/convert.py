@@ -214,9 +214,12 @@ def convert_policy_state_dict(sd: Dict[str, Any], params, policy_name: str):
     params = _to_mutable(jax.tree_util.tree_map(np.asarray, dict(params)))
     sd = {k: v for k, v in sd.items()}
 
-    convert_instruction_encoder(sd, params, "net.instruction_encoder.", "net/instruction_encoder")
-    convert_depth_encoder(sd, params, "net.depth_encoder.", "net/depth_encoder")
-    convert_rgb_encoder(sd, params, "net.rgb_encoder.", "net/rgb_encoder")
+    if policy_name in ("Seq2SeqPolicy", "CMAPolicy"):
+        # IL policies nest everything under `net`; the waypoint param tree is
+        # rooted at the prediction net itself (see convert_waypoint_state_dict)
+        convert_instruction_encoder(sd, params, "net.instruction_encoder.", "net/instruction_encoder")
+        convert_depth_encoder(sd, params, "net.depth_encoder.", "net/depth_encoder")
+        convert_rgb_encoder(sd, params, "net.rgb_encoder.", "net/rgb_encoder")
 
     if policy_name == "Seq2SeqPolicy":
         _linear(sd, params, "action_distribution.linear", "action_distribution")
