@@ -85,6 +85,46 @@ def bench_tpu() -> float:
     t_short = chain(CHAIN_SHORT)
     t_long = chain(CHAIN_LONG)
     per_step = (t_long - t_short) / (CHAIN_LONG - CHAIN_SHORT)
+
+    if "--scan" in sys.argv:
+        # in-jit scan variant: T act steps as ONE dispatch (lax.scan carrying
+        # the recurrent state). Closed-loop eval against a host sim cannot use
+        # this (actions must reach the sim each step); it measures the pure
+        # device time with dispatch overhead removed — the upper bound for a
+        # host-attached serving loop. Reported for PERFORMANCE.md, not the
+        # headline metric.
+        import jax.numpy as jnp2
+
+        def scan_steps(T: int):
+            def body(carry, _):
+                actions, states = carry
+                a, s = policy._act_impl(policy.params, obs, states, actions, masks, key, True)
+                return (a, s), ()
+
+            (a, s), _ = jax.lax.scan(
+                body, (jnp2.zeros((B, 1), jnp2.int32), policy.initial_rnn_states(B)), None, length=T
+            )
+            return s
+
+        scan_fn = jax.jit(scan_steps, static_argnums=0)
+        float(jnp.sum(scan_fn(CHAIN_SHORT)))  # compile
+        float(jnp.sum(scan_fn(CHAIN_LONG)))
+        t0 = time.perf_counter()
+        float(jnp.sum(scan_fn(CHAIN_SHORT)))
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(jnp.sum(scan_fn(CHAIN_LONG)))
+        t_l = time.perf_counter() - t0
+        scan_per_step = (t_l - t_s) / (CHAIN_LONG - CHAIN_SHORT)
+        print(
+            json.dumps({
+                "metric": "cma_act_in_jit_scan_env_steps_per_sec_per_chip",
+                "value": round(B / scan_per_step, 2),
+                "unit": "env-steps/s",
+                "dispatch_overhead_ms_per_step": round((per_step - scan_per_step) * 1e3, 3),
+            }),
+            file=sys.stderr,
+        )
     return B / per_step
 
 
@@ -149,11 +189,16 @@ def bench_torch_cpu_baseline() -> float:
 
 def main() -> None:
     tpu_sps = bench_tpu()
-    try:
-        cpu_sps = bench_torch_cpu_baseline()
-    except Exception as e:  # torch missing/broken should not kill the bench
-        print(f"baseline failed: {e}", file=sys.stderr)
+    if "--scan" in sys.argv:
+        # scan-variant runs report device-time numbers on stderr; skip the
+        # slow torch baseline (the headline line comes from plain runs)
         cpu_sps = float("nan")
+    else:
+        try:
+            cpu_sps = bench_torch_cpu_baseline()
+        except Exception as e:  # torch missing/broken should not kill the bench
+            print(f"baseline failed: {e}", file=sys.stderr)
+            cpu_sps = float("nan")
     vs = tpu_sps / cpu_sps if cpu_sps == cpu_sps else None
     print(
         json.dumps(

@@ -55,3 +55,23 @@ def test_bf16_output_dtype():
     x = np.zeros((1, 16, 16, 3), np.uint8)
     out = fused_resize_normalize(jnp.asarray(x), (8, 8), interpret=True)
     assert out.dtype == jnp.bfloat16
+
+
+def test_resize_only_matches_einsum_path():
+    """scale_values=False (the production resize_bilinear TPU path) must
+    equal the einsum resize exactly."""
+    import os
+
+    from vlnce_tpu.ops import obs_transforms as ot
+
+    rng = np.random.RandomState(3)
+    x = rng.randint(0, 255, (2, 40, 40, 3), dtype=np.uint8)
+    out = fused_resize_normalize(
+        jnp.asarray(x), (24, 24), interpret=True, out_dtype=jnp.float32, scale_values=False
+    )
+    os.environ["VLNCE_TPU_DISABLE_PALLAS"] = "1"
+    try:
+        ref = ot.resize_bilinear(jnp.asarray(x).astype(jnp.float32), (24, 24))
+    finally:
+        del os.environ["VLNCE_TPU_DISABLE_PALLAS"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)

@@ -7,29 +7,47 @@ from vlnce_tpu.utils.nav_graph import synthetic_lattice_graph
 
 
 def make_metric():
-    img = np.full((128, 128, 3), 180, np.uint8)
+    img = np.full((128, 128), maps.MAP_VALID_POINT, np.uint8)
+    img[:, :4] = maps.MAP_INVALID_POINT
     fog = np.zeros((64, 64), np.uint8)
     fog[:32] = 1
     return {
         "map": img,
-        "agent_path": [[1, 0, 1], [2, 0, 2], [3, 0, 3]],
-        "reference_path": [[1, 0, 1], [5, 0, 5]],
-        "shortest_path": [[1, 0, 1], [4, 0, 2]],
-        "source": [1, 0, 1],
-        "target": [5, 0, 5],
-        "nav_graph": synthetic_lattice_graph(),
-        "agent_position": [3, 0, 3],
-        "agent_heading": 0.5,
-        "step_count": 3,
         "fog_of_war_mask": fog,
+        "agent_map_coord": (24, 24),
+        "agent_angle": 0.5,
+        "meters_per_px": 16.0 / 128,
+        "world_size": 16.0,
+        "step_count": 3,
+        "bounds": {"lower": (0.0, 0.0), "upper": (16.0, 16.0)},
     }
 
 
 def test_colorize_topdown_metric():
     out = maps.colorize_topdown_metric(make_metric())
     assert out.shape == (128, 128, 3)
-    # fog dimmed the unexplored half
-    assert out[100, 64].mean() < out[20, 64].mean() + 255  # sanity; both valid
+    # palette applied: invalid -> white, valid (unrevealed fog) dimmed grey
+    assert (out[10, 1] == [255, 255, 255]).all()
+    # revealed valid region keeps the full grey, unrevealed is darker
+    assert out[20, 64].mean() > out[100, 64].mean()
+
+
+def test_indicator_palette_matches_reference():
+    assert (maps.TOP_DOWN_MAP_COLORS[maps.MAP_WAYPOINT_PREDICTION] == [255, 255, 0]).all()
+    assert (maps.TOP_DOWN_MAP_COLORS[maps.MAP_ORACLE_WAYPOINT] == [255, 165, 0]).all()
+    assert (maps.TOP_DOWN_MAP_COLORS[maps.MAP_SHORTEST_PATH_WAYPOINT] == [0, 150, 0]).all()
+    assert (maps.TOP_DOWN_MAP_COLORS[maps.MAP_MP3D_WAYPOINT] == [0, 200, 0]).all()
+    # step-gradient tail uses the JET colormap
+    assert not (maps.TOP_DOWN_MAP_COLORS[15] == maps.TOP_DOWN_MAP_COLORS[255]).all()
+
+
+def test_waypoint_prediction_triangle():
+    m = make_metric()
+    maps.draw_waypoint_prediction(m["map"], [8.0, 0.0, 8.0], m["meters_per_px"], 16.0)
+    assert (m["map"] == maps.MAP_WAYPOINT_PREDICTION).any()
+    out = maps.colorize_topdown_metric(m)
+    ys, xs = np.where((out == [255, 255, 0]).all(axis=2))
+    assert len(ys) > 0  # yellow triangle rendered
 
 
 def test_observations_to_image_and_text():
@@ -77,3 +95,57 @@ def test_aux_losses_shim():
     assert abs(float(out) - 0.5 * (1.0 + 2.0) / 2.0) < 1e-6
     AuxLosses.deactivate()
     assert not AuxLosses.is_active()
+
+
+def test_nearest_node_tracking_follows_edges():
+    """update_nearest_node moves at most one graph edge per call and tracks
+    the agent (reference maps.py:298-318)."""
+    from vlnce_tpu.utils.nav_graph import get_nearest_node, update_nearest_node
+
+    g = synthetic_lattice_graph(world_size=16.0, spacing=2.0)
+    node = get_nearest_node(g, (1.2, 1.1))
+    assert node == (1.0, 1.0)
+    # agent jumps 2 lattice cells away: a single update may only move to a
+    # NEIGHBOR of the current node, not teleport to the global nearest
+    far = (5.0, 1.0)
+    stepped = update_nearest_node(g, node, far)
+    assert stepped == (3.0, 1.0)  # one hop toward the agent
+    # a second update converges
+    assert update_nearest_node(g, stepped, far) == (5.0, 1.0)
+    # staying put keeps the node
+    assert update_nearest_node(g, (5.0, 1.0), (5.2, 1.2)) == (5.0, 1.0)
+
+
+def test_topdown_map_measure_end_to_end():
+    """The measure paints the indicator map: trail gradient, source/target,
+    shortest path, and the metric dict renders."""
+    import vlnce_tpu.envs  # noqa: F401
+    import vlnce_tpu.tasks  # noqa: F401
+    from vlnce_tpu.envs.env import Env
+    from vlnce_tpu.tasks.config.default import get_default_task_config
+
+    cfg = get_default_task_config().defrost()
+    cfg.DATASET.TYPE = "Synthetic-VLN-v0"
+    cfg.TASK.SENSORS = ["INSTRUCTION_SENSOR", "SHORTEST_PATH_SENSOR"]
+    cfg.TASK.MEASUREMENTS = ["DISTANCE_TO_GOAL", "SUCCESS", "SPL", "TOP_DOWN_MAP_VLNCE"]
+    cfg.TASK.TOP_DOWN_MAP_VLNCE.MAP_RESOLUTION = 256
+    cfg.TASK.TOP_DOWN_MAP_VLNCE.GRAPHS_FILE = "/nonexistent.pkl"  # synthetic fallback
+    for s in ("RGB_SENSOR", "DEPTH_SENSOR"):
+        getattr(cfg.SIMULATOR, s).HEIGHT = 16
+        getattr(cfg.SIMULATOR, s).WIDTH = 16
+    env = Env(cfg)
+    obs = env.reset()
+    for _ in range(8):
+        if env.episode_over:
+            break
+        obs = env.step(int(obs["shortest_path_sensor"][0]))
+    metric = env.get_metrics()["top_down_map_vlnce"]
+    m = metric["map"]
+    assert m.dtype == np.uint8 and m.ndim == 2
+    assert (m == maps.MAP_SOURCE_POINT_INDICATOR).any()
+    assert (m == maps.MAP_TARGET_POINT_INDICATOR).any()
+    assert (m == maps.MAP_SHORTEST_PATH_WAYPOINT).any()
+    assert (m >= 15).any()  # agent trail gradient painted
+    frame = maps.colorize_topdown_metric(metric)
+    assert frame.shape == (256, 256, 3)
+    env.close()

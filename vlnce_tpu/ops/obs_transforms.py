@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 from gymnasium import spaces
@@ -40,21 +42,44 @@ def center_crop(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     return x[..., top : top + th, left : left + tw, :]
 
 
+def _pallas_resize_enabled() -> bool:
+    """The fused pallas resize is the production path on TPU backends; the
+    einsum path (numerically identical, XLA-fused) serves CPU/tests and the
+    VLNCE_TPU_DISABLE_PALLAS=1 escape hatch."""
+    if os.environ.get("VLNCE_TPU_DISABLE_PALLAS") == "1":
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover - backend probing never fatal
+        return False
+
+
 def resize_bilinear(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     """[..., H, W, C] bilinear resize (device-side).
 
-    Uses 2-tap interpolation matrices (einsum -> MXU) matching cv2/torch
-    bilinear semantics — NOT jax.image.resize, whose antialiased downscale
-    differs numerically from the reference's cv2-based transforms.
+    Uses 2-tap interpolation matrices matching cv2/torch bilinear semantics —
+    NOT jax.image.resize, whose antialiased downscale differs numerically
+    from the reference's cv2-based transforms. On TPU the resize runs as the
+    fused pallas kernel (ops/pallas_preprocess.py: one HBM read per image,
+    both contractions on the MXU); elsewhere as einsums XLA fuses the same
+    way.
     """
-    from vlnce_tpu.ops.pallas_preprocess import _bilinear_matrix
+    from vlnce_tpu.ops.pallas_preprocess import _bilinear_matrix, fused_resize_normalize
 
     H, W = x.shape[-3], x.shape[-2]
-    rh = jnp.asarray(_bilinear_matrix(H, hw[0]))
-    rw = jnp.asarray(_bilinear_matrix(W, hw[1]))
     orig_dtype = x.dtype
-    y = jnp.einsum("oh,...hwc->...owc", rh, x.astype(jnp.float32))
-    y = jnp.einsum("pw,...owc->...opc", rw, y)
+    if x.ndim >= 4 and _pallas_resize_enabled():
+        lead = x.shape[:-3]
+        flat = x.reshape((-1,) + x.shape[-3:])
+        y = fused_resize_normalize(
+            flat, tuple(hw), normalize=False, out_dtype=jnp.float32, scale_values=False
+        )
+        y = y.reshape(lead + y.shape[1:])
+    else:
+        rh = jnp.asarray(_bilinear_matrix(H, hw[0]))
+        rw = jnp.asarray(_bilinear_matrix(W, hw[1]))
+        y = jnp.einsum("oh,...hwc->...owc", rh, x.astype(jnp.float32))
+        y = jnp.einsum("pw,...owc->...opc", rw, y)
     if jnp.issubdtype(orig_dtype, jnp.integer):
         y = jnp.clip(jnp.round(y), 0, 255).astype(orig_dtype)
     return y

@@ -61,7 +61,7 @@ def _preprocess_kernel(img_ref, rh_ref, rw_ref, scale_ref, bias_ref, out_ref, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_hw", "normalize", "out_dtype", "interpret"),
+    static_argnames=("out_hw", "normalize", "out_dtype", "interpret", "scale_values"),
 )
 def fused_resize_normalize(
     images: jnp.ndarray,
@@ -69,16 +69,18 @@ def fused_resize_normalize(
     normalize: bool = False,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
+    scale_values: bool = True,
 ) -> jnp.ndarray:
     """images: [B, H, W, C] uint8 (RGB) or float (depth) ->
-    [B, out_h, out_w, C] out_dtype, scaled to [0, 1], optionally ImageNet-
-    normalized. One pallas program per image."""
+    [B, out_h, out_w, C] out_dtype, scaled to [0, 1] (unless
+    scale_values=False: resize-only, original value range), optionally
+    ImageNet-normalized. One pallas program per image."""
     B, H, W, C = images.shape
     out_h, out_w = out_hw
     rh = jnp.asarray(_bilinear_matrix(H, out_h))
     rw = jnp.asarray(_bilinear_matrix(W, out_w))
 
-    value_scale = 1.0 / 255.0 if images.dtype == jnp.uint8 else 1.0
+    value_scale = 1.0 / 255.0 if images.dtype == jnp.uint8 and scale_values else 1.0
     if normalize:
         mean = np.array([0.485, 0.456, 0.406][:C], np.float32)
         std = np.array([0.229, 0.224, 0.225][:C], np.float32)

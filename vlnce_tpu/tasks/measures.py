@@ -364,42 +364,81 @@ class WaypointRewardMeasure(Measure):
 
 @registry.register_measure(name="TopDownMapVLNCE")
 class TopDownMapVLNCE(Measure):
-    """Top-down map with agent path, reference path, and shortest path
-    (reference habitat_extensions/measures.py:317-562). Rendering lives in
-    vlnce_tpu/utils/maps.py; this measure records the data and draws lazily.
-    """
+    """Top-down indicator map with agent step-gradient trail, MP3D nav-graph
+    nodes + nearest-node path tracking, reference/shortest paths, and
+    source/target markers (reference habitat_extensions/measures.py:317-562).
+    The map is an index image painted in place; colorization happens at viz
+    time (vlnce_tpu/utils/maps.py)."""
 
     cls_uuid = "top_down_map_vlnce"
 
     def __init__(self, *args: Any, sim: Simulator, config=None, **kwargs: Any):
         self._sim = sim
         self._config = config
+        self._map_resolution = int(getattr(config, "MAP_RESOLUTION", 256))
         super().__init__()
+
+    @property
+    def _world_size(self) -> float:
+        scene = getattr(self._sim, "_scene", None)
+        if scene is not None:
+            # occupancy grid spans the square world
+            from vlnce_tpu.envs.gridworld import _RES
+
+            return scene.occupancy.shape[0] * _RES
+        return 16.0
 
     def reset_metric(self, *args: Any, episode, **kwargs: Any) -> None:
         from vlnce_tpu.utils import maps as map_utils
 
         self._step_count = 0
         self._episode = episode
+        self._meters_per_px = self._world_size / self._map_resolution
         start = self._sim.get_agent_state()
-        self._agent_path = [list(start.position)]
-        self._map = map_utils.make_top_down_map(self._sim, self._config)
-        self._shortest_path = None
-        if self._config.DRAW_SHORTEST_PATH and episode.goals:
-            try:
-                self._shortest_path = self._sim.get_straight_shortest_path_points(
-                    list(start.position), episode.goals[0].position
-                )
-            except Exception:
-                self._shortest_path = None
+        self._map = map_utils.make_top_down_index_map(
+            self._sim, self._map_resolution, draw_border=bool(getattr(self._config, "DRAW_BORDER", True))
+        )
+        r, c = map_utils.to_grid(start.position[0], start.position[2], self._map.shape, self._world_size)
+        self._previous_xy_location = (c, r)
+
+        # nav graph: fixed waypoints + nearest-node path tracking
         self._nav_graph = None
-        if getattr(self._config, "DRAW_MP3D_AGENT_PATH", False):
-            from vlnce_tpu.utils.nav_graph import load_connectivity_graphs
+        if getattr(self._config, "DRAW_FIXED_WAYPOINTS", False) or getattr(self._config, "DRAW_MP3D_AGENT_PATH", False):
+            from vlnce_tpu.utils.nav_graph import load_connectivity_graphs, get_nearest_node, _node_position
 
             graphs = load_connectivity_graphs(self._config.GRAPHS_FILE)
             if graphs:
                 scene = episode.scene_id.split("/")[-1].split(".")[0]
                 self._nav_graph = graphs.get(scene)
+        if self._nav_graph is not None and getattr(self._config, "DRAW_FIXED_WAYPOINTS", False):
+            map_utils.draw_mp3d_nodes(self._map, self._nav_graph, episode, self._world_size, self._meters_per_px)
+
+        if self._config.DRAW_SHORTEST_PATH and episode.goals:
+            try:
+                points = self._sim.get_straight_shortest_path_points(
+                    list(start.position), episode.goals[0].position
+                )
+                map_utils.draw_straight_shortest_path_points(self._map, points, self._world_size)
+            except Exception:
+                pass
+        if self._config.DRAW_REFERENCE_PATH and getattr(episode, "reference_path", None):
+            map_utils.draw_reference_path(self._map, episode, self._world_size, self._meters_per_px)
+        # source and target last so they are not painted over
+        if self._config.DRAW_SOURCE_AND_TARGET:
+            map_utils.draw_source_and_target(self._map, episode, self._world_size, self._meters_per_px)
+
+        # MP3D start node (nearest-node tracking, reference measures.py:430-443)
+        self._nearest_node = None
+        if self._nav_graph is not None:
+            from vlnce_tpu.utils.nav_graph import get_nearest_node, _node_position
+
+            self._nearest_node = get_nearest_node(
+                self._nav_graph, (start.position[0], start.position[2])
+            )
+            if self._nearest_node is not None:
+                pos = _node_position(self._nav_graph, self._nearest_node)
+                self._node_rc = map_utils.to_grid(pos[0], pos[-1], self._map.shape, self._world_size)
+
         self._fog_mask = None
         scene = getattr(self._sim, "_scene", None)
         if self._config.FOG_OF_WAR.DRAW and scene is not None:
@@ -411,26 +450,58 @@ class TopDownMapVLNCE(Measure):
 
         self._step_count += 1
         state = self._sim.get_agent_state()
-        self._agent_path.append(list(state.position))
         heading = map_utils.agent_heading(state)
+        r, c = map_utils.to_grid(state.position[0], state.position[2], self._map.shape, self._world_size)
+
+        # agent trail with a step gradient (never over the source marker)
+        max_steps = max(1, int(getattr(self._config, "MAX_EPISODE_STEPS", 500)))
+        gradient_color = 15 + min(self._step_count * 245 // max_steps, 245)
+        if self._map[r, c] != map_utils.MAP_SOURCE_POINT_INDICATOR:
+            map_utils.drawline(
+                self._map, self._previous_xy_location, (c, r), gradient_color,
+                thickness=int(self._map_resolution * 1.4 / map_utils.MAP_THICKNESS_SCALAR),
+                style="filled",
+            )
+
         if self._fog_mask is not None:
             map_utils.reveal_fog_of_war(
                 self._sim._scene.occupancy, self._fog_mask, state.position, heading,
                 fov_deg=float(self._config.FOG_OF_WAR.FOV),
                 visibility_dist=float(self._config.FOG_OF_WAR.VISIBILITY_DIST),
+                world_size=self._world_size,
             )
+
+        # nearest-node path over the nav graph (reference measures.py:516-560)
+        if self._nearest_node is not None:
+            from vlnce_tpu.utils.nav_graph import update_nearest_node, _node_position
+
+            prev = self._nearest_node
+            self._nearest_node = update_nearest_node(
+                self._nav_graph, self._nearest_node, (state.position[0], state.position[2])
+            )
+            if self._nearest_node != prev and getattr(self._config, "DRAW_MP3D_AGENT_PATH", False):
+                pos = _node_position(self._nav_graph, self._nearest_node)
+                prev_rc = self._node_rc
+                self._node_rc = map_utils.to_grid(pos[0], pos[-1], self._map.shape, self._world_size)
+                map_utils.drawpoint(
+                    self._map, self._node_rc, gradient_color, self._meters_per_px, pad=0.15
+                )
+                map_utils.drawline(
+                    self._map, (prev_rc[1], prev_rc[0]), (self._node_rc[1], self._node_rc[0]),
+                    gradient_color,
+                    thickness=max(1, int(0.5 * self._map_resolution / map_utils.MAP_THICKNESS_SCALAR)),
+                )
+
+        self._previous_xy_location = (c, r)
         self._metric = {
             "map": self._map,
-            "agent_path": self._agent_path,
-            "reference_path": self._episode.reference_path if self._config.DRAW_REFERENCE_PATH else None,
-            "shortest_path": self._shortest_path,
-            "source": list(self._episode.start_position) if self._config.DRAW_SOURCE_AND_TARGET else None,
-            "target": list(self._episode.goals[0].position) if self._config.DRAW_SOURCE_AND_TARGET and self._episode.goals else None,
-            "nav_graph": self._nav_graph,
-            "agent_position": list(state.position),
-            "agent_heading": heading,
-            "step_count": self._step_count,
             "fog_of_war_mask": self._fog_mask,
+            "agent_map_coord": (r, c),
+            "agent_angle": heading,
+            "meters_per_px": self._meters_per_px,
+            "bounds": {"lower": (0.0, 0.0), "upper": (self._world_size, self._world_size)},
+            "world_size": self._world_size,
+            "step_count": self._step_count,
         }
 
 

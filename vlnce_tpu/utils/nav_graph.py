@@ -68,40 +68,33 @@ def get_nearest_node(graph, position: Sequence[float]):
 
 
 def update_nearest_node(graph, current_node, position: Sequence[float]):
-    """Hill-climb to a nearer neighbor instead of a global search; reference
-    maps.py:298-318."""
+    """Nearest among the current node and its graph neighbors — a single
+    reachability-constrained hop per step, so the drawn node path follows
+    nav-graph edges (reference maps.py:298-318)."""
     p = np.asarray(position, dtype=np.float64)
 
     def dist(node):
         q = _node_position(graph, node)
         return float(np.hypot(q[0] - p[0], q[-1] - p[-1]))
 
-    best = current_node
-    improved = True
-    while improved:
-        improved = False
-        for nb in graph.neighbors(best):
-            if dist(nb) < dist(best):
-                best = nb
-                improved = True
-    return best
+    candidates = [current_node] + [e[1] for e in graph.edges(current_node)]
+    return min(candidates, key=dist)
 
 
-def draw_nav_graph(
-    img: np.ndarray, graph, world_size: float = 16.0,
-    node_color=(120, 120, 200), edge_color=(160, 160, 220),
-) -> np.ndarray:
-    """Overlay graph nodes/edges on a top-down map image; reference
-    maps.py:321-343 (draw_mp3d_nodes)."""
+def draw_nav_graph(img: np.ndarray, graph, world_size: float = 16.0) -> np.ndarray:
+    """Overlay graph edges + nodes on a top-down INDEX map (indicator ids;
+    reference maps.py:321-343 draws only nodes — edges are an extra here)."""
     import cv2
 
-    from vlnce_tpu.utils.maps import world_to_map_xy
+    from vlnce_tpu.utils.maps import MAP_MP3D_WAYPOINT, to_grid, drawpoint
 
-    res = img.shape[0]
+    shape = img.shape[0:2]
+    meters_per_px = world_size / shape[0]
     for a, b in graph.edges:
-        pa = world_to_map_xy(_node_position(graph, a), res, world_size)
-        pb = world_to_map_xy(_node_position(graph, b), res, world_size)
-        cv2.line(img, pa, pb, edge_color, 1)
+        ra, ca = to_grid(*_node_position(graph, a)[[0, -1]], shape, world_size)
+        rb, cb = to_grid(*_node_position(graph, b)[[0, -1]], shape, world_size)
+        cv2.line(img, (ca, ra), (cb, rb), MAP_MP3D_WAYPOINT, 1)
     for node in graph.nodes:
-        cv2.circle(img, world_to_map_xy(_node_position(graph, node), res, world_size), 2, node_color, -1)
+        pos = _node_position(graph, node)
+        drawpoint(img, to_grid(pos[0], pos[-1], shape, world_size), MAP_MP3D_WAYPOINT, meters_per_px, pad=0.15)
     return img

@@ -16,7 +16,18 @@ class TensorboardWriter:
     def __init__(self, log_dir: str, flush_secs: int = 30, purge_step: Optional[int] = None):
         self.writer = None
         if log_dir:
-            from torch.utils.tensorboard import SummaryWriter
+            # torch provides the SummaryWriter here, but TB scalars must not
+            # REQUIRE torch: degrade to a warning when it's absent
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+            except ImportError:
+                import logging
+
+                logging.getLogger("vlnce_tpu").warning(
+                    "tensorboard unavailable (torch not installed); "
+                    f"TENSORBOARD_DIR={log_dir!r} will not be written"
+                )
+                return
 
             self.writer = SummaryWriter(log_dir=log_dir, flush_secs=flush_secs, purge_step=purge_step)
 

@@ -101,10 +101,23 @@ def waypoint_observations_to_image(
         from vlnce_tpu.utils import maps as map_utils
         from vlnce_tpu.tasks.geometry import rtheta_to_global_coordinates
 
-        m = map_utils.colorize_topdown_metric(info["top_down_map_vlnce"])
+        metric = info["top_down_map_vlnce"]
+        if agent_position is None and r is not None and "agent_map_coord" in metric:
+            # reconstruct the agent's world pose from the map metric so eval
+            # loops don't need to thread sim state through
+            mr, mc = metric["agent_map_coord"]
+            mpp = metric["meters_per_px"]
+            agent_position = [mc * mpp, 0.0, mr * mpp]
+            agent_heading = metric["agent_angle"] if agent_heading is None else agent_heading
         if agent_position is not None and r is not None and theta is not None:
+            # draw the prediction on a copy of the index map so the yellow
+            # triangle only lives in this frame (reference maps.py:256-262)
+            metric = dict(metric, map=np.array(metric["map"]))
             target = rtheta_to_global_coordinates(agent_position, agent_heading or 0.0, r, theta, dimensionality=3)
-            map_utils.draw_point(m, target, map_utils.MAP_WAYPOINT_PREDICTION, radius=6)
+            map_utils.draw_waypoint_prediction(
+                metric["map"], target, metric["meters_per_px"], metric["world_size"]
+            )
+        m = map_utils.colorize_topdown_metric(metric)
         mh = frame.shape[0]
         m = cv2.resize(m, (int(m.shape[1] * mh / m.shape[0]), mh))
         frame = np.concatenate([frame, m], axis=1)
