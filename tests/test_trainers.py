@@ -162,3 +162,25 @@ def test_dagger_collection_serial_matches_pipelined(tmp_path):
         assert len(prev) == len(oracle) and len(prev) > 0
         reader.close()
     assert counts[True] == counts[False] == 4
+
+
+def test_eval_episode_set_is_distinct_and_reference_bounded(tmp_path):
+    """Eval episode-set parity with the reference loop
+    (base_il_trainer.py:318-410): every evaluated episode is DISTINCT (the
+    _pause_envs/deactivate dedup), and the count is EVAL.EPISODE_COUNT —
+    except that episodes finishing in the same final env step are all
+    recorded (the reference records them too), so at most
+    EPISODE_COUNT + N - 1."""
+    tmp = str(tmp_path)
+    N = 2
+    cfg = get_config(opts=base_opts(tmp, [
+        "TASK_CONFIG.DATASET.NUM_EPISODES", 8,
+        "EVAL.EPISODE_COUNT", 5,
+    ]))
+    trainer = registry.get_trainer("dagger")(cfg)
+    trainer.train()
+    stats = trainer._eval_checkpoint(f"{tmp}/ckpts/ckpt.0.ckpt", _NullWriter(), 0)
+    assert stats is not None
+    eps = trainer._last_eval_episode_stats
+    assert len(set(eps.keys())) == len(eps)  # all distinct episode ids
+    assert 5 <= len(eps) <= 5 + N - 1

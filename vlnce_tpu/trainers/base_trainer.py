@@ -330,6 +330,9 @@ class BaseVLNCETrainer:
         envs.close()
         pbar.close()
 
+        # per-episode stats retained for tests/diagnostics (episode-set parity)
+        self._last_eval_episode_stats = stats_episodes
+
         aggregated_stats = {}
         if stats_episodes:
             for k in next(iter(stats_episodes.values())).keys():
