@@ -184,3 +184,51 @@ def test_eval_episode_set_is_distinct_and_reference_bounded(tmp_path):
     eps = trainer._last_eval_episode_stats
     assert len(set(eps.keys())) == len(eps)  # all distinct episode ids
     assert 5 <= len(eps) <= 5 + N - 1
+
+
+def test_inference_writes_r2r_and_rxr_predictions(tmp_path):
+    """Leaderboard inference path (reference base_il_trainer.py:433-630):
+    r2r JSON {episode_id: [pose infos]} and rxr JSONL
+    {instruction_id, path} with consecutive-duplicate dedup."""
+    import json
+
+    tmp = str(tmp_path)
+    cfg = get_config(opts=base_opts(tmp))
+    trainer = registry.get_trainer("dagger")(cfg)
+    trainer.train()
+    ckpt = f"{tmp}/ckpts/ckpt.0.ckpt"
+
+    # r2r format
+    cfg_r2r = get_config(opts=base_opts(tmp, [
+        "INFERENCE.CKPT_PATH", ckpt,
+        "INFERENCE.SPLIT", "val_unseen",
+        "INFERENCE.USE_CKPT_CONFIG", False,
+        "INFERENCE.FORMAT", "r2r",
+        "INFERENCE.PREDICTIONS_FILE", f"{tmp}/preds.json",
+        "TASK_CONFIG.DATASET.NUM_EPISODES", 3,
+    ]))
+    registry.get_trainer("dagger")(cfg_r2r).inference()
+    with open(f"{tmp}/preds.json") as f:
+        preds = json.load(f)
+    assert len(preds) >= 3
+    for ep_id, steps in preds.items():
+        assert len(steps) >= 2
+        for s in steps:
+            assert "position" in s and "heading" in s and "stop" in s
+
+    # rxr jsonl format
+    cfg_rxr = get_config(opts=base_opts(tmp, [
+        "INFERENCE.CKPT_PATH", ckpt,
+        "INFERENCE.SPLIT", "val_unseen",
+        "INFERENCE.USE_CKPT_CONFIG", False,
+        "INFERENCE.FORMAT", "rxr",
+        "INFERENCE.PREDICTIONS_FILE", f"{tmp}/preds.jsonl",
+        "TASK_CONFIG.DATASET.NUM_EPISODES", 3,
+    ]))
+    registry.get_trainer("dagger")(cfg_rxr).inference()
+    lines = [json.loads(l) for l in open(f"{tmp}/preds.jsonl")]
+    assert len(lines) >= 3
+    for entry in lines:
+        assert "instruction_id" in entry and "path" in entry
+        path = entry["path"]
+        assert all(a != b for a, b in zip(path[:-1], path[1:]))  # deduped
