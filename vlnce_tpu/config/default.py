@@ -101,6 +101,12 @@ _C.EVAL.LANGUAGES = ["en-US", "en-IN"]
 _C.EVAL.SAMPLE = False
 _C.EVAL.SAVE_RESULTS = True
 _C.EVAL.USE_CKPT_CONFIG = True
+# run the whole closed loop (render -> act -> step) on device as lax.scan
+# segments — no per-step host dispatch. GridWorldSim-v0 only (host-bound
+# simulators can't run inside jit); see vlnce_tpu/trainers/scan_eval.py
+_C.EVAL.ON_DEVICE_SCAN = False
+_C.EVAL.SCAN_BATCH = 8  # episodes rolled out per compiled scan program
+_C.EVAL.SCAN_SEGMENT = 64  # env steps per dispatch (early-exit between segments)
 _C.EVAL.EVAL_NONLEARNING = False
 _C.EVAL.NONLEARNING = CN()
 _C.EVAL.NONLEARNING.AGENT = "RandomAgent"

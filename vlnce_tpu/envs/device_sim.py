@@ -1,0 +1,333 @@
+"""Device-resident grid-world simulator (pure JAX, jit/scan-compatible).
+
+The host-side GridWorldSim (vlnce_tpu/envs/gridworld.py) is the CPU stand-in
+for Habitat-Sim. This module re-expresses the SAME world — identical
+occupancy grids, raycast renderer, and collision-filtered dynamics — as pure
+jnp functions with static shapes, so a full closed-loop rollout
+(render -> policy act -> step) runs as ONE `lax.scan` on the TPU with zero
+host round-trips per step. This is the capability the reference architecture
+cannot express (Habitat-Sim is C++/OpenGL on the host; every policy step
+crosses the process boundary, reference ddppo_waypoint_trainer.py:154-157's
+pth/env split exists to measure that cost).
+
+Parity contract (tested in tests/test_device_sim.py):
+- dynamics (`step_discrete`) match GridWorldSim.step positions/headings;
+- rendering (`render_camera`) matches GridWorldSim's raycast frames up to
+  float32-vs-float64 rounding;
+- scenes are built from the identical host `GridWorldScene` arrays.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlnce_tpu.envs.gridworld import _N, _RES, _WORLD_SIZE, get_scene
+
+_WALL_HEIGHT = 2.0
+_EYE = 1.0  # _EYE_HEIGHT_FRAC * _WALL_HEIGHT
+
+
+class CameraSpec(NamedTuple):
+    """Static per-camera render parameters (hashable: jit-safe)."""
+
+    uuid: str
+    height: int
+    width: int
+    hfov_deg: float
+    orientation_y: float
+    kind: str  # "rgb" | "depth"
+    min_depth: float = 0.0
+    max_depth: float = 10.0
+    normalize_depth: bool = True
+
+
+def camera_specs_from_config(sim_config) -> List[CameraSpec]:
+    """Mirror of GridWorldSim.__init__'s camera parsing (gridworld.py:150-161)."""
+    depth_cfg = getattr(sim_config, "DEPTH_SENSOR", None)
+    min_d = float(depth_cfg.MIN_DEPTH) if depth_cfg else 0.0
+    max_d = float(depth_cfg.MAX_DEPTH) if depth_cfg else 10.0
+    norm_d = bool(depth_cfg.NORMALIZE_DEPTH) if depth_cfg else True
+    specs = []
+    for name in sim_config.AGENT_0.SENSORS:
+        cam = getattr(sim_config, name, None)
+        if cam is None:
+            continue
+        kind = "depth" if "DEPTH" in name else "rgb"
+        orientation_y = float(cam.ORIENTATION[1]) if "ORIENTATION" in cam else 0.0
+        specs.append(
+            CameraSpec(
+                cam.UUID, int(cam.HEIGHT), int(cam.WIDTH), float(cam.HFOV),
+                orientation_y, kind, min_d, max_d, norm_d,
+            )
+        )
+    return specs
+
+
+class SceneBatch(NamedTuple):
+    """Per-episode scene/goal arrays, stacked along a leading batch axis."""
+
+    occupancy: jnp.ndarray  # [B, N, N] bool, True = blocked
+    wall_colors: jnp.ndarray  # [B, N, N, 3] uint8
+    floor_color: jnp.ndarray  # [B, 3] uint8
+    ceil_color: jnp.ndarray  # [B, 3] uint8
+    goal_field: jnp.ndarray  # [B, N, N] f32 geodesic meters to episode goal (inf = unreachable)
+    d0: jnp.ndarray  # [B] f32 start geodesic distance (progress sensor denominator)
+
+
+def build_scene_batch(episodes) -> SceneBatch:
+    """Stack host GridWorldScene arrays for a batch of episodes.
+
+    goal_field is the elementwise-min Dijkstra field over the episode's
+    goals — the device analog of `min over goals` in
+    GridWorldSim.geodesic_distance (gridworld.py:266-282).
+    """
+    occ, colors, floor, ceil, fields, d0s = [], [], [], [], [], []
+    for ep in episodes:
+        scene = get_scene(ep.scene_id)
+        occ.append(scene.occupancy)
+        colors.append(scene.wall_colors)
+        floor.append(scene.floor_color)
+        ceil.append(scene.ceil_color)
+        field = None
+        for goal in ep.goals:
+            g = np.asarray(goal.position, dtype=np.float64)
+            cell = scene.world_to_cell(float(g[0]), float(g[-1]))
+            f = scene.distance_field(cell)
+            field = f if field is None else np.minimum(field, f)
+        fields.append(field.astype(np.float32))
+        s = np.asarray(ep.start_position, dtype=np.float64)
+        si, sj = scene.world_to_cell(float(s[0]), float(s[-1]))
+        d0s.append(max(float(field[si, sj]), 1e-6))
+    return SceneBatch(
+        occupancy=jnp.asarray(np.stack(occ)),
+        wall_colors=jnp.asarray(np.stack(colors)),
+        floor_color=jnp.asarray(np.stack(floor)),
+        ceil_color=jnp.asarray(np.stack(ceil)),
+        goal_field=jnp.asarray(np.stack(fields)),
+        d0=jnp.asarray(np.array(d0s, dtype=np.float32)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# navigation primitives (single env; callers vmap over the batch axis)
+# ---------------------------------------------------------------------------
+
+
+def _cell_index(x: jnp.ndarray, z: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """world -> clipped cell indices; truncation matches numpy .astype(int32)
+    on the non-negative in-world coordinates (gridworld.py:75-79,363-364)."""
+    ci = jnp.clip((x / _RES).astype(jnp.int32), 0, _N - 1)
+    cj = jnp.clip((z / _RES).astype(jnp.int32), 0, _N - 1)
+    return ci, cj
+
+
+def is_navigable(occupancy: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """occupancy [N,N]; pos [..., 3] -> bool [...] (gridworld.py:205-210)."""
+    ci, cj = _cell_index(pos[..., 0], pos[..., 2])
+    return ~occupancy[ci, cj]
+
+
+def _advance(occupancy: jnp.ndarray, start: jnp.ndarray, delta: jnp.ndarray, ts: jnp.ndarray):
+    """Walk start -> start+delta at fractions ts, stopping before the first
+    blocked sample. Returns (pos, fully_reached). Mirrors the forward walk in
+    GridWorldSim.step_filter (gridworld.py:236-246): pos advances through
+    consecutively navigable samples only."""
+    cands = start[None, :] + delta[None, :] * ts[:, None]  # [K, 3]
+    nav = is_navigable(occupancy, cands)  # [K]
+    k = jnp.sum(jnp.cumprod(nav.astype(jnp.int32)))  # leading-True count
+    idx = jnp.maximum(k - 1, 0)
+    pos = jnp.where(k > 0, cands[idx], start)
+    return pos, k == ts.shape[0]
+
+
+def step_filter(
+    occupancy: jnp.ndarray,
+    start: jnp.ndarray,
+    end: jnp.ndarray,
+    n_steps: int,
+    allow_sliding: bool,
+) -> jnp.ndarray:
+    """Collision-filtered move with optional axis sliding — the fixed-shape
+    port of GridWorldSim.step_filter (gridworld.py:227-264). `n_steps` must
+    equal the host's max(2, int(length / (0.25 * _RES))) for the fixed step
+    length used, so sample fractions coincide exactly."""
+    delta = end - start
+    ts = jnp.linspace(0.0, 1.0, n_steps + 1)[1:]
+    pos, reached = _advance(occupancy, start, delta, ts)
+    if not allow_sliding:
+        return jnp.where(reached, end, pos)
+
+    def slide(pos):
+        remaining = end - pos
+        for axis in (0, 2):
+            shift = jnp.zeros(3).at[axis].set(remaining[axis])
+            target_ok = is_navigable(occupancy, pos + shift)
+            slid, _ = _advance(occupancy, pos, shift, ts)
+            pos = jnp.where(target_ok, slid, pos)
+        return pos
+
+    # host semantics: sliding only runs when the walk was blocked; when the
+    # walk fully reached `end`, the exact float target is returned
+    return jnp.where(reached, end, slide(pos))
+
+
+def step_discrete(
+    occupancy: jnp.ndarray,
+    pos: jnp.ndarray,
+    heading: jnp.ndarray,
+    action: jnp.ndarray,
+    forward_step: float,
+    turn_angle: float,
+    allow_sliding: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One discrete sim step (STOP/FORWARD/LEFT/RIGHT), single env.
+
+    Mirrors GridWorldSim.step (gridworld.py:176-194); LOOK_UP/DOWN (tilt) is
+    not modeled — the R2R action space doesn't include it.
+    """
+    two_pi = 2.0 * math.pi
+    fwd = jnp.stack([-jnp.sin(heading), jnp.zeros_like(heading), -jnp.cos(heading)])
+    n_steps = max(2, int(forward_step / (0.25 * _RES)))
+    moved = step_filter(occupancy, pos, pos + fwd * forward_step, n_steps, allow_sliding)
+    new_pos = jnp.where(action == 1, moved, pos)
+    new_heading = jnp.where(
+        action == 2,
+        (heading + turn_angle) % two_pi,
+        jnp.where(action == 3, (heading - turn_angle) % two_pi, heading),
+    )
+    return new_pos, new_heading
+
+
+def geodesic_at(goal_field: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """goal_field [N,N]; pos [3] -> meters (snap handled at field build)."""
+    ci, cj = _cell_index(pos[0], pos[2])
+    return goal_field[ci, cj]
+
+
+# ---------------------------------------------------------------------------
+# rendering (single env, single camera; callers vmap over the batch axis)
+# ---------------------------------------------------------------------------
+
+
+def _raycast(
+    occupancy: jnp.ndarray, pos: jnp.ndarray, ray_angles: jnp.ndarray, max_t: float
+):
+    """Fixed-sample DDA over the occupancy grid. The host marches rays
+    sequentially (gridworld.py:345-373); sampling every distance up front and
+    taking the first blocked sample computes the identical hit (same 0.6*_RES
+    step, same truncation/clipping) with no loop."""
+    step = 0.6 * _RES
+    K = int(max_t / step)
+    dists = step * jnp.arange(1, K + 1, dtype=jnp.float32)  # [K]
+    valid = dists < max_t
+    dx = -jnp.sin(ray_angles)  # [W]
+    dz = -jnp.cos(ray_angles)
+    px = pos[0] + dx[:, None] * dists[None, :]  # [W, K]
+    pz = pos[2] + dz[:, None] * dists[None, :]
+    ci, cj = _cell_index(px, pz)
+    blocked = occupancy[ci, cj] & valid[None, :]
+    hit = jnp.any(blocked, axis=1)  # [W]
+    first = jnp.argmax(blocked, axis=1)  # [W]
+    t = jnp.where(hit, dists[first], max_t)
+    w_idx = jnp.arange(ray_angles.shape[0])
+    hit_ci = ci[w_idx, first]
+    hit_cj = cj[w_idx, first]
+    return t, hit, hit_ci, hit_cj
+
+
+def render_camera(
+    scene_occ: jnp.ndarray,
+    wall_colors: jnp.ndarray,
+    floor_color: jnp.ndarray,
+    ceil_color: jnp.ndarray,
+    pos: jnp.ndarray,
+    heading: jnp.ndarray,
+    spec: CameraSpec,
+) -> jnp.ndarray:
+    """One frame for one camera; port of GridWorldSim._render_cameras/_shade
+    (gridworld.py:375-428) in float32."""
+    h, w = spec.height, spec.width
+    half_fov = math.radians(spec.hfov_deg) / 2.0
+    xs = jnp.tan(jnp.linspace(-half_fov, half_fov, w))
+    col_angles = -jnp.arctan(xs)
+    ray_angles = (heading + spec.orientation_y) % (2.0 * math.pi) + col_angles
+
+    max_t = float(spec.max_depth) if spec.kind == "depth" else 1.5 * _WORLD_SIZE
+    t, hit, hit_ci, hit_cj = _raycast(scene_occ, pos, ray_angles, max_t)
+
+    perp = t * jnp.cos(jnp.arctan(xs))
+    focal = (w / 2.0) / math.tan(half_fov)
+    horizon = h / 2.0  # tilt not modeled (no LOOK_UP/DOWN in the R2R space)
+    safe_perp = jnp.maximum(perp, 1e-6)
+    top = horizon - focal * (_WALL_HEIGHT - _EYE) / safe_perp
+    bot = horizon + focal * _EYE / safe_perp
+    rows = jnp.arange(h, dtype=jnp.float32)[:, None]
+    wall_mask = (rows >= top[None, :]) & (rows <= bot[None, :]) & hit[None, :]
+
+    if spec.kind == "depth":
+        below = rows > horizon
+        denom = jnp.abs(rows - horizon) + 1e-6
+        plane_h = jnp.where(below, _EYE, _WALL_HEIGHT - _EYE)
+        plane_depth = focal * plane_h / denom
+        depth = jnp.where(
+            wall_mask, perp[None, :], jnp.minimum(plane_depth, spec.max_depth)
+        )
+        depth = jnp.clip(depth, spec.min_depth, spec.max_depth)
+        if spec.normalize_depth:
+            depth = (depth - spec.min_depth) / (spec.max_depth - spec.min_depth)
+        return depth.astype(jnp.float32)[..., None]
+
+    colors = wall_colors[hit_ci, hit_cj]  # [W, 3] uint8
+    shade = jnp.clip(1.0 - perp / _WORLD_SIZE, 0.25, 1.0)
+    wall_rgb = (colors.astype(jnp.float32) * shade[:, None]).astype(jnp.uint8)
+    img = jnp.where(
+        (rows > horizon)[..., None],
+        floor_color[None, None, :],
+        ceil_color[None, None, :],
+    ).astype(jnp.uint8)
+    return jnp.where(wall_mask[..., None], wall_rgb[None, :, :], img)
+
+
+def render_batch(
+    scenes: SceneBatch,
+    pos: jnp.ndarray,
+    heading: jnp.ndarray,
+    specs: Sequence[CameraSpec],
+) -> Dict[str, jnp.ndarray]:
+    """All cameras for all envs: obs dict of [B, H, W, C] arrays."""
+    obs = {}
+    for spec in specs:
+        fn = lambda o, wc, fc, cc, p, hd: render_camera(o, wc, fc, cc, p, hd, spec)
+        obs[spec.uuid] = jax.vmap(fn)(
+            scenes.occupancy, scenes.wall_colors, scenes.floor_color,
+            scenes.ceil_color, pos, heading,
+        )
+    return obs
+
+
+def progress_batch(scenes: SceneBatch, pos: jnp.ndarray) -> jnp.ndarray:
+    """VLNOracleProgressSensor on device: (d0 - d_t)/d0, 0 when unreachable
+    (tasks/sensors.py:120-133)."""
+    d_t = jax.vmap(geodesic_at)(scenes.goal_field, pos)
+    prog = (scenes.d0 - d_t) / scenes.d0
+    return jnp.where(jnp.isfinite(d_t), prog, 0.0)[:, None].astype(jnp.float32)
+
+
+def step_batch(
+    scenes: SceneBatch,
+    pos: jnp.ndarray,
+    heading: jnp.ndarray,
+    actions: jnp.ndarray,
+    forward_step: float,
+    turn_angle: float,
+    allow_sliding: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    fn = lambda occ, p, h, a: step_discrete(
+        occ, p, h, a, forward_step, turn_angle, allow_sliding
+    )
+    return jax.vmap(fn)(scenes.occupancy, pos, heading, actions)

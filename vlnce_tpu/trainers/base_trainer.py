@@ -232,12 +232,26 @@ class BaseVLNCETrainer:
             config.TASK_CONFIG.TASK.MEASUREMENTS.append("TOP_DOWN_MAP_VLNCE")
         config.freeze()
 
+        fname = None
         if config.EVAL.SAVE_RESULTS:
             os.makedirs(config.RESULTS_DIR, exist_ok=True)
             fname = os.path.join(config.RESULTS_DIR, f"stats_ckpt_{checkpoint_index}_{split}.json")
             if os.path.exists(fname):
                 logger.info("skipping -- evaluation exists.")
                 return
+
+        if config.EVAL.ON_DEVICE_SCAN:
+            if len(config.VIDEO_OPTION) > 0:
+                logger.warning(
+                    "EVAL.ON_DEVICE_SCAN does not render eval videos; "
+                    "falling back to the host eval loop for this checkpoint."
+                )
+            else:
+                from vlnce_tpu.trainers.scan_eval import eval_checkpoint_on_device
+
+                return eval_checkpoint_on_device(
+                    self, config, checkpoint_path, writer, checkpoint_index, fname
+                )
 
         envs = construct_envs_auto_reset_false(config, get_env_class(config.ENV_NAME))
         self.obs_transforms = get_active_obs_transforms(config)

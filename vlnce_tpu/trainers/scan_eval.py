@@ -1,0 +1,263 @@
+"""On-device closed-loop evaluation: env + policy as one `lax.scan`.
+
+The host eval loop (base_trainer._eval_checkpoint) crosses the host<->device
+boundary every step: render on host, act on device, step on host. With the
+device-resident grid world (envs/device_sim.py) the WHOLE closed loop —
+render -> obs transforms -> policy act -> collision-filtered step — runs as
+a single jitted scan segment, so per-step dispatch latency (the dominant
+cost on remote-attached chips, PERFORMANCE.md) disappears entirely.
+
+Enabled by `EVAL.ON_DEVICE_SCAN = True`; requires the GridWorldSim-v0
+simulator (Habitat-class C++ sims are host-bound by nature — this path is
+the TPU-native capability the reference architecture cannot express).
+
+Metrics are the production ones: the recorded device action sequences are
+replayed through the host VLNTask measure machinery (zero cameras, so no
+rendering cost) — every measure (SPL/nDTW/oracle family) is computed by the
+exact same code as the host eval loop, reference base_il_trainer.py:416-431.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import tqdm
+
+from vlnce_tpu.envs.device_sim import (
+    SceneBatch,
+    build_scene_batch,
+    camera_specs_from_config,
+    progress_batch,
+    render_batch,
+    step_batch,
+)
+from vlnce_tpu.ops.obs_transforms import apply_obs_transforms_batch
+from vlnce_tpu.tasks.datasets import make_dataset
+from vlnce_tpu.tasks.geometry import heading_from_quaternion
+from vlnce_tpu.tasks.sensors import MAX_INSTRUCTION_LEN
+from vlnce_tpu.utils.logging import logger
+
+_EXPECTED_ACTIONS = ["STOP", "MOVE_FORWARD", "TURN_LEFT", "TURN_RIGHT"]
+
+
+def _check_supported(config) -> None:
+    sim_type = config.TASK_CONFIG.SIMULATOR.TYPE
+    if sim_type != "GridWorldSim-v0":
+        raise ValueError(
+            f"EVAL.ON_DEVICE_SCAN requires the device-resident grid world "
+            f"(SIMULATOR.TYPE=GridWorldSim-v0), got {sim_type!r}. Host-bound "
+            f"simulators cannot run inside the jitted scan — use the host "
+            f"eval loop instead."
+        )
+    actions = list(config.TASK_CONFIG.TASK.POSSIBLE_ACTIONS)
+    if actions != _EXPECTED_ACTIONS:
+        raise ValueError(
+            f"EVAL.ON_DEVICE_SCAN supports the discrete R2R action space "
+            f"{_EXPECTED_ACTIONS}, got {actions}"
+        )
+
+
+def _episode_batch_arrays(episodes) -> Dict[str, np.ndarray]:
+    instr = np.zeros((len(episodes), MAX_INSTRUCTION_LEN), np.int32)
+    pos = np.zeros((len(episodes), 3), np.float32)
+    heading = np.zeros((len(episodes),), np.float32)
+    for i, ep in enumerate(episodes):
+        tokens = ep.instruction.instruction_tokens or []
+        n = min(len(tokens), MAX_INSTRUCTION_LEN)
+        instr[i, :n] = np.asarray(tokens[:n], np.int32)
+        pos[i] = np.asarray(ep.start_position, np.float32)
+        heading[i] = heading_from_quaternion(np.asarray(ep.start_rotation, np.float64))
+    return {"instruction": instr, "pos": pos, "heading": heading}
+
+
+def _build_segment_fn(policy, transforms, specs, sim_cfg, deterministic: bool, seg_len: int):
+    """Jitted closed-loop segment: `seg_len` env steps as ONE dispatch."""
+    forward_step = float(sim_cfg.FORWARD_STEP_SIZE)
+    turn_angle = math.radians(float(sim_cfg.TURN_ANGLE))
+    allow_sliding = bool(sim_cfg.HABITAT_SIM_V0.ALLOW_SLIDING)
+
+    def segment(params, scenes: SceneBatch, instruction, carry, rng):
+        pos, heading, rnn, prev_actions, done, t0 = carry
+
+        def body(c, i):
+            pos, heading, rnn, prev_a, done = c
+            obs = render_batch(scenes, pos, heading, specs)
+            obs["instruction"] = instruction
+            obs["progress"] = progress_batch(scenes, pos)
+            batch = apply_obs_transforms_batch(obs, transforms)
+            g = t0 + i
+            mask = jnp.where(g == 0, 0.0, 1.0) * jnp.ones((pos.shape[0], 1), jnp.float32)
+            action, rnn2 = policy._act_impl(
+                params, batch, rnn, prev_a, mask, jax.random.fold_in(rng, g), deterministic
+            )
+            a = jnp.where(done, 0, action.reshape(-1).astype(jnp.int32))
+            new_done = done | (a == 0)
+            pos2, heading2 = step_batch(
+                scenes, pos, heading, a, forward_step, turn_angle, allow_sliding
+            )
+            pos2 = jnp.where(done[:, None], pos, pos2)
+            heading2 = jnp.where(done, heading, heading2)
+            return (pos2, heading2, rnn2, action.astype(jnp.int32), new_done), a
+
+        (pos, heading, rnn, prev_actions, done), actions = jax.lax.scan(
+            body, (pos, heading, rnn, prev_actions, done), jnp.arange(seg_len)
+        )
+        return (pos, heading, rnn, prev_actions, done, t0 + seg_len), actions
+
+    return jax.jit(segment, static_argnames=())
+
+
+def run_scan_rollouts(
+    policy,
+    transforms,
+    config,
+    episodes: List,
+    rng,
+    progress_cb=None,
+) -> List[np.ndarray]:
+    """Run closed-loop rollouts for `episodes` on device; returns the action
+    sequence (up to and including STOP, or the step cap) per episode."""
+    task_cfg = config.TASK_CONFIG
+    specs = camera_specs_from_config(task_cfg.SIMULATOR)
+    T_max = int(task_cfg.ENVIRONMENT.MAX_EPISODE_STEPS)
+    B = max(1, int(config.EVAL.SCAN_BATCH))
+    seg_len = max(1, min(int(config.EVAL.SCAN_SEGMENT), T_max))
+    deterministic = not bool(config.EVAL.SAMPLE)
+
+    segment_fn = _build_segment_fn(
+        policy, transforms, specs, task_cfg.SIMULATOR, deterministic, seg_len
+    )
+
+    all_actions: List[np.ndarray] = []
+    for lo in range(0, len(episodes), B):
+        chunk = episodes[lo : lo + B]
+        real = len(chunk)
+        # pad the final chunk so the compiled program shape is reused
+        chunk = chunk + [chunk[-1]] * (B - real)
+        scenes = build_scene_batch(chunk)
+        arrays = _episode_batch_arrays(chunk)
+        carry = (
+            jnp.asarray(arrays["pos"]),
+            jnp.asarray(arrays["heading"]),
+            policy.initial_rnn_states(B),
+            jnp.zeros((B, 1), jnp.int32),
+            jnp.zeros((B,), bool),
+            jnp.int32(0),
+        )
+        instruction = jnp.asarray(arrays["instruction"])
+        rng, chunk_rng = jax.random.split(rng)
+        collected = []
+        t = 0
+        while t < T_max:
+            carry, actions = segment_fn(policy.params, scenes, instruction, carry, chunk_rng)
+            collected.append(np.asarray(actions))  # [seg_len, B]
+            t += seg_len
+            if bool(np.asarray(carry[4]).all()):
+                break  # every episode in the chunk has called STOP
+        acts = np.concatenate(collected, axis=0)[:T_max]  # [<=T_max, B]
+        for i in range(real):
+            seq = acts[:, i]
+            stops = np.flatnonzero(seq == 0)
+            end = int(stops[0]) + 1 if len(stops) else len(seq)
+            all_actions.append(seq[:end])
+            if progress_cb is not None:
+                progress_cb()
+    return all_actions
+
+
+def metrics_from_actions(config, episodes: List, action_seqs: List[np.ndarray]) -> Dict[str, Dict]:
+    """Replay recorded actions through the host measure machinery (no
+    cameras, so zero rendering cost). Produces exactly the per-episode info
+    dicts the host eval loop records."""
+    from vlnce_tpu.registry import registry
+    from vlnce_tpu.tasks.task import VLNTask
+
+    task_cfg = config.TASK_CONFIG.clone()
+    task_cfg.defrost()
+    task_cfg.SIMULATOR.AGENT_0.SENSORS = []
+    task_cfg.TASK.SENSORS = []
+    task_cfg.freeze()
+    sim_cls = registry.get_simulator(task_cfg.SIMULATOR.TYPE)
+    sim = sim_cls(task_cfg.SIMULATOR)
+    task = VLNTask(task_cfg.TASK, sim)
+    max_steps = int(task_cfg.ENVIRONMENT.MAX_EPISODE_STEPS)
+
+    stats: Dict[str, Dict] = {}
+    for ep, seq in zip(episodes, action_seqs):
+        sim.reconfigure(ep.scene_id)
+        sim.reset()
+        sim.set_agent_state(ep.start_position, ep.start_rotation)
+        task.reset(ep)
+        steps = 0
+        for a in seq:
+            task.step(int(a), ep)
+            steps += 1
+            if task.is_stop_called or steps >= max_steps:
+                break
+        metrics = task.measurements.get_metrics()
+        stats[ep.episode_id] = {
+            k: v for k, v in metrics.items() if np.isscalar(v) or isinstance(v, (int, float))
+        }
+    return stats
+
+
+def eval_checkpoint_on_device(
+    trainer, config, checkpoint_path: str, writer, checkpoint_index: int,
+    stats_fname: Optional[str],
+) -> Dict[str, float]:
+    """Scan-eval drop-in for BaseVLNCETrainer._eval_checkpoint's env loop."""
+    from vlnce_tpu.ops.obs_transforms import get_active_obs_transforms
+
+    _check_supported(config)
+
+    dataset = make_dataset(config.TASK_CONFIG.DATASET.TYPE, config.TASK_CONFIG.DATASET)
+    episodes = list(dataset.episodes)
+    if config.EVAL.EPISODE_COUNT > -1:
+        episodes = episodes[: config.EVAL.EPISODE_COUNT]
+
+    trainer.obs_transforms = get_active_obs_transforms(config)
+    observation_space, action_space = trainer._get_spaces(config)
+    trainer._initialize_policy(
+        config, load_from_ckpt=os.path.exists(checkpoint_path),
+        observation_space=observation_space, action_space=action_space,
+    )
+
+    start = time.time()
+    pbar = tqdm.tqdm(total=len(episodes), desc=f"scan-eval ckpt {checkpoint_index}")
+    action_seqs = run_scan_rollouts(
+        trainer.policy, trainer.obs_transforms, config, episodes,
+        trainer._next_rng(), progress_cb=pbar.update,
+    )
+    pbar.close()
+    device_time = time.time() - start
+
+    stats_episodes = metrics_from_actions(config, episodes, action_seqs)
+    trainer._last_eval_episode_stats = stats_episodes
+
+    aggregated: Dict[str, float] = {}
+    if stats_episodes:
+        for k in next(iter(stats_episodes.values())).keys():
+            aggregated[k] = float(np.mean([v[k] for v in stats_episodes.values()]))
+
+    if stats_fname is not None and stats_episodes:
+        with open(stats_fname, "w") as f:
+            json.dump(aggregated, f, indent=4)
+
+    split = config.EVAL.SPLIT
+    steps = sum(len(s) for s in action_seqs)
+    logger.info(
+        f"Episodes evaluated (on-device scan): {len(stats_episodes)}; "
+        f"{steps} env steps in {device_time:.1f}s device+replay "
+        f"({steps / max(device_time, 1e-9):.0f} steps/s)"
+    )
+    for k, v in aggregated.items():
+        logger.info(f"{k}: {v:.6f}")
+        writer.add_scalar(f"eval_{split}_{k}", v, checkpoint_index + 1)
+    return aggregated
