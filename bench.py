@@ -128,6 +128,94 @@ def bench_tpu() -> float:
     return B / per_step
 
 
+def bench_closed_loop() -> None:
+    """Closed-loop on-device eval throughput: the production scan_eval
+    segment (render -> obs transforms -> CMA act -> collision-filtered step)
+    at production shapes, with the device-resident grid world. No host
+    round-trips inside a segment; this is the number the host eval loop's
+    pth_time+env_time sum is compared against."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlnce_tpu.config import get_config
+    from vlnce_tpu.envs.device_sim import build_scene_batch, camera_specs_from_config
+    from vlnce_tpu.models.cma_policy import CMAPolicy
+    from vlnce_tpu.ops.obs_transforms import get_active_obs_transforms
+    from vlnce_tpu.tasks.datasets import make_dataset
+    from vlnce_tpu.trainers.scan_eval import (
+        _build_segment_fn,
+        _episode_batch_arrays,
+    )
+
+    SEG = 16
+    cfg = get_config(
+        opts=[
+            "BASE_TASK_CONFIG_PATH", "vlnce_tpu/tasks/config/vlnce_task.yaml",
+            "TASK_CONFIG.DATASET.TYPE", "Synthetic-VLN-v0",
+            "TASK_CONFIG.DATASET.NUM_EPISODES", B,
+            "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", False,
+            "MODEL.INSTRUCTION_ENCODER.bidirectional", True,
+            "EVAL.SCAN_BATCH", B,
+            "EVAL.SCAN_SEGMENT", SEG,
+        ]
+    )
+    episodes = list(make_dataset("Synthetic-VLN-v0", cfg.TASK_CONFIG.DATASET).episodes)[:B]
+    scenes = build_scene_batch(episodes)
+    arrays = _episode_batch_arrays(episodes)
+    specs = camera_specs_from_config(cfg.TASK_CONFIG.SIMULATOR)
+
+    from gymnasium import spaces as gspaces
+
+    space = gspaces.Dict(
+        {
+            "rgb": gspaces.Box(0, 255, (RGB_HW, RGB_HW, 3), np.uint8),
+            "depth": gspaces.Box(0, 1, (DEPTH_HW, DEPTH_HW, 1), np.float32),
+            "instruction": gspaces.Box(0, 10000, (200,), np.int32),
+            "progress": gspaces.Box(0, 1, (1,), np.float32),
+        }
+    )
+    policy = CMAPolicy.from_config(cfg, space, gspaces.Discrete(4))
+    policy.init_params(jax.random.PRNGKey(0), batch_size=B)
+    transforms = get_active_obs_transforms(cfg)
+    segment_fn = _build_segment_fn(
+        policy, transforms, specs, cfg.TASK_CONFIG.SIMULATOR, True, SEG
+    )
+
+    instruction = jnp.asarray(arrays["instruction"])
+    rng = jax.random.PRNGKey(7)
+
+    def chain(n_segments: int) -> float:
+        carry = (
+            jnp.asarray(arrays["pos"]),
+            jnp.asarray(arrays["heading"]),
+            policy.initial_rnn_states(B),
+            jnp.zeros((B, 1), jnp.int32),
+            jnp.zeros((B,), bool),
+            jnp.int32(0),
+        )
+        t0 = time.perf_counter()
+        for _ in range(n_segments):
+            carry, _actions = segment_fn(policy.params, scenes, instruction, carry, rng)
+        float(jnp.sum(carry[0]))  # readback barrier
+        return time.perf_counter() - t0
+
+    chain(1)  # compile
+    t_short = chain(1)
+    t_long = chain(6)
+    per_step = (t_long - t_short) / (5 * SEG)
+    print(
+        json.dumps(
+            {
+                "metric": "closed_loop_on_device_env_steps_per_sec_per_chip",
+                "value": round(B / per_step, 2),
+                "unit": "env-steps/s",
+                "note": "render+transforms+CMA act+sim step, all on device (EVAL.ON_DEVICE_SCAN)",
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
 def _torch_resnet50(in_channels: int):
     """Minimal torch ResNet50 trunk (conv1 + 4 bottleneck stages) with the
     same FLOP profile as torchvision's; torchvision is not in this image."""
@@ -188,6 +276,9 @@ def bench_torch_cpu_baseline() -> float:
 
 
 def main() -> None:
+    if "--closed-loop" in sys.argv:
+        bench_closed_loop()
+        return
     tpu_sps = bench_tpu()
     if "--scan" in sys.argv:
         # scan-variant runs report device-time numbers on stderr; skip the
