@@ -216,6 +216,95 @@ def bench_closed_loop() -> None:
     )
 
 
+def bench_rl_rollout() -> None:
+    """On-device DD-PPO rollout collection throughput: the production
+    DeviceRolloutCollector scan (12-pano render + waypoint policy act +
+    GO_TOWARD_POINT dynamics + shaped reward + auto-reset) at production
+    waypoint shapes, one dispatch per rollout."""
+    import jax
+
+    from vlnce_tpu.config import get_config
+    from vlnce_tpu.config.default import add_pano_sensors_to_config
+    from vlnce_tpu.models.waypoint_policy import WaypointPolicy
+    from vlnce_tpu.ops.obs_transforms import (
+        apply_obs_transforms_obs_space,
+        get_active_obs_transforms,
+    )
+    from vlnce_tpu.registry import registry
+    from vlnce_tpu.rl.device_rollout import DeviceRolloutCollector
+    from vlnce_tpu.rl.rollout_storage import ActionDictRolloutStorage
+    import vlnce_tpu.trainers  # noqa: F401
+    from vlnce_tpu.envs import ensure_registered
+    from vlnce_tpu.envs import rl_envs  # noqa: F401
+
+    ensure_registered()
+    N_ENVS, T = 8, 16
+    cfg = get_config(
+        opts=[
+            "BASE_TASK_CONFIG_PATH", "vlnce_tpu/tasks/config/vlnce_waypoint_task.yaml",
+            "TASK_CONFIG.DATASET.TYPE", "Synthetic-VLN-v0",
+            "ENV_NAME", "VLNCEWaypointEnv",
+            "NUM_ENVIRONMENTS", N_ENVS,
+            "RL.PPO.num_steps", T,
+            "RL.POLICY.OBS_TRANSFORMS.ENABLED_TRANSFORMS", "[ObsStack]",
+            "MODEL.policy_name", "WaypointPolicy",
+            "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", False,
+            "MODEL.INSTRUCTION_ENCODER.bidirectional", True,
+            "MODEL.INSTRUCTION_ENCODER.final_state_only", False,
+            "TPU.ON_DEVICE_ROLLOUT", True,
+        ]
+    )
+    cfg = add_pano_sensors_to_config(cfg)
+
+    env_cls = registry.get_env(cfg.ENV_NAME)
+    probe = env_cls(cfg.clone())
+    transforms = get_active_obs_transforms(cfg)
+    from gymnasium import spaces as gspaces
+
+    obs_space = apply_obs_transforms_obs_space(probe.observation_space, transforms)
+    new = dict(obs_space.spaces)
+    new["rgb_history"] = gspaces.Box(0, 255, obs_space["rgb"].shape[1:], np.uint8)
+    new["depth_history"] = gspaces.Box(0.0, 1.0, obs_space["depth"].shape[1:], np.float32)
+    obs_space = gspaces.Dict(new)
+    probe.close()
+
+    policy = WaypointPolicy.from_config(cfg, obs_space)
+    policy.init_params(jax.random.PRNGKey(0), batch_size=1)
+    collector = DeviceRolloutCollector(policy, transforms, cfg, N_ENVS)
+    rollouts = ActionDictRolloutStorage(
+        T, N_ENVS, obs_space, cfg.MODEL.STATE_ENCODER.hidden_size,
+        num_recurrent_layers=policy.num_recurrent_layers,
+    )
+    for k, v in collector.initial_carry_and_obs().items():
+        rollouts.observations[k][0] = v
+    cer = np.zeros((N_ENVS, 1), np.float32)
+    stats = {"count": np.zeros((N_ENVS, 1), np.float32), "reward": np.zeros((N_ENVS, 1), np.float32)}
+
+    def run_rollouts(n: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(n):
+            rollouts.step = 0
+            collector.collect(rollouts, cer, stats, jax.random.PRNGKey(1))
+        return time.perf_counter() - t0
+
+    run_rollouts(1)  # compile
+    t_short = run_rollouts(1)
+    t_long = run_rollouts(5)
+    per_rollout = (t_long - t_short) / 4
+    sps = N_ENVS * T / per_rollout
+    print(
+        json.dumps(
+            {
+                "metric": "on_device_rl_rollout_env_steps_per_sec_per_chip",
+                "value": round(sps, 2),
+                "unit": "env-steps/s",
+                "note": "12-pano render + WPN act + waypoint dynamics + reward + auto-reset (TPU.ON_DEVICE_ROLLOUT)",
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
 def _torch_resnet50(in_channels: int):
     """Minimal torch ResNet50 trunk (conv1 + 4 bottleneck stages) with the
     same FLOP profile as torchvision's; torchvision is not in this image."""
@@ -278,6 +367,9 @@ def bench_torch_cpu_baseline() -> float:
 def main() -> None:
     if "--closed-loop" in sys.argv:
         bench_closed_loop()
+        return
+    if "--rl-rollout" in sys.argv:
+        bench_rl_rollout()
         return
     tpu_sps = bench_tpu()
     if "--scan" in sys.argv:

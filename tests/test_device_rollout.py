@@ -1,0 +1,238 @@
+"""On-device waypoint dynamics/reward parity + full on-device PPO training.
+
+Strategy mirrors test_device_sim.py: the device GO_TOWARD_POINT and the
+shaped waypoint reward must match the host task action / reward measure on
+identical transitions, and the end-to-end on-device trainer must learn
+(params move) without ever constructing an env pool.
+"""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vlnce_tpu.tasks  # noqa: F401
+import vlnce_tpu.models  # noqa: F401
+import vlnce_tpu.trainers  # noqa: F401
+from vlnce_tpu.config import get_config
+from vlnce_tpu.envs import ensure_registered
+from vlnce_tpu.envs import rl_envs  # noqa: F401
+from vlnce_tpu.envs.gridworld import GridWorldSim, get_scene
+from vlnce_tpu.envs import device_sim as ds
+from vlnce_tpu.registry import registry
+from vlnce_tpu.tasks.geometry import heading_from_quaternion, quat_from_heading
+
+ensure_registered()
+
+IMG = 16
+
+
+def _waypoint_cfg(tmp="/tmp", extra=None):
+    opts = [
+        "BASE_TASK_CONFIG_PATH", "vlnce_tpu/tasks/config/vlnce_waypoint_task.yaml",
+        "TASK_CONFIG.DATASET.TYPE", "Synthetic-VLN-v0",
+        "TASK_CONFIG.DATASET.NUM_EPISODES", 6,
+        "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", 8,
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT", IMG,
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH", IMG,
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT", IMG,
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH", IMG,
+        "ENV_NAME", "VLNCEWaypointEnv",
+        "NUM_ENVIRONMENTS", 2,
+        "TENSORBOARD_DIR", "",
+        "CHECKPOINT_FOLDER", f"{tmp}/ckpts",
+        "RESULTS_DIR", f"{tmp}/evals",
+        "RL.POLICY.OBS_TRANSFORMS.ENABLED_TRANSFORMS", "[ObsStack]",
+        "MODEL.policy_name", "WaypointPolicy",
+        "MODEL.DEPTH_ENCODER.backbone", "resnet18",
+        "MODEL.RGB_ENCODER.cnn_type", "TorchVisionResNet18",
+        "MODEL.RGB_ENCODER.output_size", 64,
+        "MODEL.STATE_ENCODER.hidden_size", 64,
+        "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", False,
+        "MODEL.INSTRUCTION_ENCODER.vocab_size", 64,
+        "MODEL.INSTRUCTION_ENCODER.bidirectional", True,
+        "MODEL.INSTRUCTION_ENCODER.final_state_only", False,
+    ]
+    return get_config(opts=opts + (extra or []))
+
+
+def _host_sim(scene_id="synth_scene_0"):
+    cfg = _waypoint_cfg().TASK_CONFIG.SIMULATOR
+    sim = GridWorldSim(cfg)
+    sim.reconfigure(scene_id)
+    return sim
+
+
+def test_waypoint_step_parity():
+    """Device GO_TOWARD_POINT matches the host task action: blocked targets,
+    snapping, and the rotate-toward-target heading."""
+    from vlnce_tpu.tasks.task import VLNTask
+
+    cfg = _waypoint_cfg()
+    task_cfg = cfg.TASK_CONFIG.clone()
+    task_cfg.defrost()
+    task_cfg.SIMULATOR.AGENT_0.SENSORS = []
+    task_cfg.TASK.SENSORS = []
+    task_cfg.TASK.MEASUREMENTS = []
+    task_cfg.freeze()
+    sim = GridWorldSim(task_cfg.SIMULATOR)
+    sim.reconfigure("synth_scene_0")
+    task = VLNTask(task_cfg.TASK, sim)
+    action = task.actions["GO_TOWARD_POINT"]
+
+    occ = jnp.asarray(get_scene("synth_scene_0").occupancy)
+    nearest = jnp.asarray(ds.nearest_free_cell_map("synth_scene_0"))
+    max_samples = max(2, int(math.ceil(4.0 / (0.25 * 0.25))) + 1)
+
+    rng = np.random.RandomState(3)
+    checked = 0
+    for _ in range(60):
+        start = np.array([rng.uniform(1.5, 14.5), 0.0, rng.uniform(1.5, 14.5)])
+        if not sim.is_navigable(start):
+            continue
+        heading = float(rng.uniform(0, 2 * np.pi))
+        r = float(rng.uniform(0.25, 4.0))
+        theta = float(rng.uniform(0, 2 * np.pi))
+
+        sim.set_agent_state(start, quat_from_heading(heading))
+        action.step(r=r, theta=theta)
+        host_state = sim.get_agent_state()
+
+        dev_pos, dev_heading = ds.waypoint_step(
+            occ, nearest,
+            jnp.asarray(start, jnp.float32), jnp.asarray(heading, jnp.float32),
+            jnp.asarray(r, jnp.float32), jnp.asarray(theta, jnp.float32),
+            rotate_agent=True, max_samples=max_samples, allow_sliding=False,
+        )
+        np.testing.assert_allclose(np.asarray(dev_pos), host_state.position, atol=3e-4)
+        host_heading = heading_from_quaternion(host_state.rotation)
+        dh = (float(dev_heading) - host_heading + math.pi) % (2 * math.pi) - math.pi
+        assert abs(dh) < 1e-4
+        checked += 1
+    assert checked > 40
+
+
+def test_waypoint_reward_parity():
+    """Device reward matches the host VLNCEWaypointEnv reward on the same
+    transitions (slack scaling, distance delta, success bonus, STOP)."""
+    env_cls = registry.get_env("VLNCEWaypointEnv")
+    cfg = _waypoint_cfg()
+    env = env_cls(cfg.clone())
+    obs = env.reset()
+    ep = env._env.current_episode
+
+    scene = get_scene(ep.scene_id)
+    g = np.asarray(ep.goals[0].position, np.float64)
+    field = scene.distance_field(scene.world_to_cell(float(g[0]), float(g[-1])))
+    field_j = jnp.asarray(field.astype(np.float32))
+    rkw = dict(
+        slack_reward=float(cfg.TASK_CONFIG.TASK.WAYPOINT_REWARD_MEASURE.slack_reward),
+        use_distance_scaled_slack_reward=True,
+        scale_slack_on_prediction=True,
+        success_reward=float(cfg.TASK_CONFIG.TASK.WAYPOINT_REWARD_MEASURE.success_reward),
+        distance_scalar=float(cfg.TASK_CONFIG.TASK.WAYPOINT_REWARD_MEASURE.distance_scalar),
+        success_distance=float(cfg.TASK_CONFIG.TASK.SUCCESS.SUCCESS_DISTANCE),
+    )
+
+    rng = np.random.RandomState(5)
+    prev_pos = np.asarray(env._env.sim.get_agent_state().position)
+    prev_d = env._env.sim.geodesic_distance(list(prev_pos), ep.goals[0].position)
+    steps = [
+        {"action": {"action": "GO_TOWARD_POINT", "action_args": {"r": float(rng.uniform(0.25, 3.0)), "theta": float(rng.uniform(0, 2 * np.pi))}}}
+        for _ in range(5)
+    ] + [{"action": "STOP"}]
+    for a in steps:
+        is_stop = a["action"] == "STOP"
+        r_pred = 0.0 if is_stop else a["action"]["action_args"]["r"]
+        obs, host_reward, done, info = env.step(a)
+        new_pos = np.asarray(env._env.sim.get_agent_state().position)
+        dev_reward, dev_d, dev_success = ds.waypoint_reward(
+            field_j, jnp.float32(prev_d), jnp.asarray(prev_pos[[0, 2]], jnp.float32),
+            jnp.asarray(new_pos, jnp.float32), jnp.float32(r_pred),
+            jnp.asarray(is_stop), **rkw,
+        )
+        np.testing.assert_allclose(float(dev_reward), host_reward, atol=1e-5)
+        np.testing.assert_allclose(float(dev_success), info["success"], atol=1e-6)
+        prev_pos, prev_d = new_pos, float(dev_d)
+        if done:
+            break
+    env.close()
+
+
+def test_on_device_ppo_training(tmp_path):
+    """Full DD-PPO update with TPU.ON_DEVICE_ROLLOUT: no env pool, rollout
+    collected by the device scan, params move, checkpoint written."""
+    tmp = str(tmp_path)
+    cfg = _waypoint_cfg(tmp, extra=[
+        "TPU.ON_DEVICE_ROLLOUT", True,
+        "RL.NUM_UPDATES", 1,
+        "RL.PPO.num_steps", 4,
+        "RL.PPO.num_mini_batch", 1,
+        "RL.PPO.ppo_epoch", 1,
+    ])
+    trainer = registry.get_trainer("ddppo-waypoint")(cfg)
+    captured = {}
+    orig_init = trainer._initialize_policy_rl
+
+    def wrapped(*a, **k):
+        orig_init(*a, **k)
+        captured["before"] = jax.tree_util.tree_map(
+            lambda x: np.asarray(x).copy(), trainer.policy.params
+        )
+
+    trainer._initialize_policy_rl = wrapped
+    trainer.train()
+    assert trainer.envs is None  # no env pool was ever constructed
+    assert os.path.exists(f"{tmp}/ckpts/ckpt.0.ckpt")
+    before = jax.tree_util.tree_leaves(captured["before"])
+    after = jax.tree_util.tree_leaves(trainer.policy.params)
+    changed = any(
+        not np.allclose(np.asarray(b), np.asarray(a)) for b, a in zip(before, after)
+    )
+    assert changed, "on-device PPO update did not change any parameter"
+
+
+def test_device_rollout_collector_fills_storage(tmp_path):
+    """The collector fills every rollout tensor with finite values and
+    advances episode bookkeeping."""
+    from vlnce_tpu.rl.device_rollout import DeviceRolloutCollector
+    from vlnce_tpu.rl.rollout_storage import ActionDictRolloutStorage
+    from vlnce_tpu.ops.obs_transforms import get_active_obs_transforms
+
+    cfg = _waypoint_cfg(str(tmp_path), extra=["RL.PPO.num_steps", 3, "TPU.ON_DEVICE_ROLLOUT", True])
+    trainer = registry.get_trainer("ddppo-waypoint")(cfg)
+    cfg = trainer.config  # pano sensors injected
+    env_cls = registry.get_env(cfg.ENV_NAME)
+    probe = env_cls(cfg.clone())
+
+    class _H:
+        observation_spaces = [probe.observation_space]
+
+    trainer._set_observation_space(_H())
+    probe.close()
+    trainer._initialize_policy_rl(load_from_ckpt=False)
+
+    N = 2
+    rollouts = ActionDictRolloutStorage(
+        3, N, trainer.observation_space, cfg.MODEL.STATE_ENCODER.hidden_size,
+        num_recurrent_layers=trainer.policy.num_recurrent_layers,
+    )
+    collector = DeviceRolloutCollector(trainer.policy, trainer.obs_transforms, cfg, N)
+    obs0 = collector.initial_carry_and_obs()
+    for k, v in obs0.items():
+        rollouts.observations[k][0] = v
+    cer = np.zeros((N, 1), np.float32)
+    stats = {"count": np.zeros((N, 1), np.float32), "reward": np.zeros((N, 1), np.float32)}
+    n = collector.collect(rollouts, cer, stats, jax.random.PRNGKey(0))
+    assert n == 3 * N
+    assert rollouts.step == 3
+    assert np.isfinite(rollouts.rewards[:3]).all()
+    assert np.isfinite(rollouts.value_preds[:3]).all()
+    assert np.isfinite(rollouts.action_log_probs[:3]).all()
+    # obs slots 1..3 are filled (non-identical to slot 0 after movement)
+    assert rollouts.observations["rgb"][1:4].any()
+    # masks are 0/1
+    assert set(np.unique(rollouts.masks[:4])) <= {0.0, 1.0}

@@ -87,6 +87,11 @@ _C.TPU.DONATE_BUFFERS = True
 # latency-bound (remote-attached chip) because two half-batch dispatches pay
 # the round-trip twice — see PERFORMANCE.md for measurements. Default off.
 _C.TPU.PIPELINED_COLLECTION = False
+# collect RL rollouts entirely on device: the device-resident grid world
+# steps inside a lax.scan with the policy (render -> act -> waypoint step ->
+# reward -> auto-reset), one dispatch per rollout instead of per env step.
+# GridWorldSim-v0 + VLNCEWaypointEnv only (vlnce_tpu/rl/device_rollout.py)
+_C.TPU.ON_DEVICE_ROLLOUT = False
 # pad env batch to a fixed size so pause_at never retriggers compilation
 _C.TPU.PAD_ENV_BATCH = True
 _C.TPU.PROFILE_DIR = ""  # if set, write jax.profiler traces here

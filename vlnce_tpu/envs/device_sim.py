@@ -209,6 +209,145 @@ def geodesic_at(goal_field: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     return goal_field[ci, cj]
 
 
+_NEAREST_FREE_CACHE: Dict[str, np.ndarray] = {}
+
+
+def nearest_free_cell_map(scene_id: str) -> np.ndarray:
+    """[N,N,2] int32: for every cell, the nearest navigable cell — the
+    vectorized (and tie-break-identical: first minimum in the row-major free
+    list) equivalent of GridWorldScene.nearest_navigable_cell
+    (gridworld.py:117-121), precomputed once per scene for the device
+    snap_point."""
+    if scene_id in _NEAREST_FREE_CACHE:
+        return _NEAREST_FREE_CACHE[scene_id]
+    occ = get_scene(scene_id).occupancy
+    free = np.argwhere(~occ)  # row-major, matching the host argmin order
+    ii, jj = np.meshgrid(np.arange(_N), np.arange(_N), indexing="ij")
+    cells = np.stack([ii.ravel(), jj.ravel()], axis=1)  # [N*N, 2]
+    d2 = (
+        (cells[:, None, 0] - free[None, :, 0]) ** 2
+        + (cells[:, None, 1] - free[None, :, 1]) ** 2
+    )
+    nearest = free[np.argmin(d2, axis=1)].astype(np.int32).reshape(_N, _N, 2)
+    _NEAREST_FREE_CACHE[scene_id] = nearest
+    return nearest
+
+
+def snap_point(occupancy: jnp.ndarray, nearest_map: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """GridWorldSim.snap_point (gridworld.py:212-219): unchanged when
+    navigable, else the nearest navigable cell center at y=0."""
+    ci, cj = _cell_index(pos[0], pos[2])
+    ni = nearest_map[ci, cj, 0].astype(jnp.float32)
+    nj = nearest_map[ci, cj, 1].astype(jnp.float32)
+    snapped = jnp.stack([(ni + 0.5) * _RES, jnp.zeros_like(ni), (nj + 0.5) * _RES])
+    return jnp.where(is_navigable(occupancy, pos), pos, snapped)
+
+
+def step_filter_dynamic(
+    occupancy: jnp.ndarray,
+    start: jnp.ndarray,
+    end: jnp.ndarray,
+    max_samples: int,
+    allow_sliding: bool,
+) -> jnp.ndarray:
+    """step_filter for a traced (data-dependent) move length.
+
+    The host walks n = max(2, int(length / (0.25 * _RES))) samples at
+    fractions i/n (gridworld.py:236-238). Here the sample COUNT is static
+    (max_samples >= any possible n) but the FRACTIONS are the host's: ts_i =
+    min(i/n, 1.0) — samples beyond n clamp to the endpoint, which leaves the
+    leading-navigable-prefix semantics unchanged.
+    """
+    delta = end - start
+    length = jnp.linalg.norm(delta[jnp.array([0, 2])])
+    n = jnp.maximum(2, (length / (0.25 * _RES)).astype(jnp.int32))
+    i = jnp.arange(1, max_samples + 1, dtype=jnp.float32)
+    ts = jnp.minimum(i / n.astype(jnp.float32), 1.0)
+    pos, reached = _advance(occupancy, start, delta, ts)
+    degenerate = length < 1e-9  # host returns `end` outright (gridworld.py:234)
+
+    if allow_sliding:
+
+        def slide(pos):
+            remaining = end - pos
+            for axis in (0, 2):
+                shift = jnp.zeros(3).at[axis].set(remaining[axis])
+                target_ok = is_navigable(occupancy, pos + shift)
+                slid, _ = _advance(occupancy, pos, shift, ts)
+                pos = jnp.where(target_ok, slid, pos)
+            return pos
+
+        pos = jnp.where(reached, end, slide(pos))
+    else:
+        pos = jnp.where(reached, end, pos)
+    return jnp.where(degenerate, end, pos)
+
+
+def waypoint_step(
+    occupancy: jnp.ndarray,
+    nearest_map: jnp.ndarray,
+    pos: jnp.ndarray,
+    heading: jnp.ndarray,
+    r: jnp.ndarray,
+    theta: jnp.ndarray,
+    rotate_agent: bool,
+    max_samples: int,
+    allow_sliding: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """GO_TOWARD_POINT on device, single env (tasks/actions.py:113-150 /
+    reference habitat_extensions/actions.py:26-56): polar target ->
+    collision-filtered straight-line move -> navigability check -> snap ->
+    re-check; optionally rotate the agent toward the target."""
+    ang = heading + theta
+    target = pos + r * jnp.stack([-jnp.sin(ang), jnp.zeros_like(ang), -jnp.cos(ang)])
+    moved = step_filter_dynamic(occupancy, pos, target, max_samples, allow_sliding)
+    nav = is_navigable(occupancy, moved)
+    snapped = snap_point(occupancy, nearest_map, moved)
+    snapped_ok = is_navigable(occupancy, snapped)
+    new_pos = jnp.where(nav & snapped_ok, snapped, pos)
+    if rotate_agent:
+        # compute_heading_to's (atan2(dx, dz) + pi) % 2pi convention
+        # (tasks/geometry.py:122-133)
+        two_pi = 2.0 * math.pi
+        new_heading = (
+            jnp.arctan2(target[0] - pos[0], target[2] - pos[2]) + math.pi
+        ) % two_pi
+        return new_pos, new_heading
+    return new_pos, heading
+
+
+def waypoint_reward(
+    goal_field: jnp.ndarray,
+    prev_distance: jnp.ndarray,
+    prev_pos_xz: jnp.ndarray,
+    pos_after: jnp.ndarray,
+    r_pred: jnp.ndarray,
+    stop: jnp.ndarray,
+    *,
+    slack_reward: float,
+    use_distance_scaled_slack_reward: bool,
+    scale_slack_on_prediction: bool,
+    success_reward: float,
+    distance_scalar: float,
+    success_distance: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """WaypointRewardMeasure on device, single env (tasks/measures.py:314-362
+    / reference habitat_extensions/measures.py:153-233). Returns
+    (reward, new_distance_to_goal, success)."""
+    d = geodesic_at(goal_field, pos_after)
+    moved = jnp.linalg.norm(prev_pos_xz - pos_after[jnp.array([0, 2])])
+    if use_distance_scaled_slack_reward:
+        slack_distance = jnp.where(stop, moved, r_pred) if scale_slack_on_prediction else moved
+        slack = jnp.minimum(slack_reward, slack_reward * slack_distance / 0.25)
+    else:
+        slack = jnp.asarray(slack_reward, jnp.float32)
+    delta = prev_distance - d
+    delta = jnp.where(jnp.isfinite(delta), delta, -1.0)
+    success = (stop & (d < success_distance)).astype(jnp.float32)
+    reward = slack + distance_scalar * delta + success_reward * success
+    return reward, d, success
+
+
 # ---------------------------------------------------------------------------
 # rendering (single env, single camera; callers vmap over the batch axis)
 # ---------------------------------------------------------------------------
@@ -293,8 +432,11 @@ def render_camera(
     return jnp.where(wall_mask[..., None], wall_rgb[None, :, :], img)
 
 
-def render_batch(
-    scenes: SceneBatch,
+def render_arrays(
+    occupancy: jnp.ndarray,
+    wall_colors: jnp.ndarray,
+    floor_color: jnp.ndarray,
+    ceil_color: jnp.ndarray,
     pos: jnp.ndarray,
     heading: jnp.ndarray,
     specs: Sequence[CameraSpec],
@@ -304,10 +446,21 @@ def render_batch(
     for spec in specs:
         fn = lambda o, wc, fc, cc, p, hd: render_camera(o, wc, fc, cc, p, hd, spec)
         obs[spec.uuid] = jax.vmap(fn)(
-            scenes.occupancy, scenes.wall_colors, scenes.floor_color,
-            scenes.ceil_color, pos, heading,
+            occupancy, wall_colors, floor_color, ceil_color, pos, heading
         )
     return obs
+
+
+def render_batch(
+    scenes: SceneBatch,
+    pos: jnp.ndarray,
+    heading: jnp.ndarray,
+    specs: Sequence[CameraSpec],
+) -> Dict[str, jnp.ndarray]:
+    return render_arrays(
+        scenes.occupancy, scenes.wall_colors, scenes.floor_color,
+        scenes.ceil_color, pos, heading, specs,
+    )
 
 
 def progress_batch(scenes: SceneBatch, pos: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,368 @@
+"""On-device RL rollout collection: env + policy + reward as one scan.
+
+The reference collects DD-PPO rollouts by crossing the host<->device boundary
+every step on every rank (reference ddppo_waypoint_trainer.py:146-281), which
+is why it needs 64 GPUs each co-located with 4 sims. With the device-resident
+grid world the WHOLE collection loop — pano render, obs transforms, waypoint
+policy act, GO_TOWARD_POINT dynamics, shaped reward, episode auto-reset from
+a preloaded queue — runs as ONE jitted `lax.scan` of PPO.num_steps steps.
+Together with the jitted PPO update this makes the entire training update a
+handful of device programs: rollout tensors leave the chip once per update
+(into the numpy rollout storage the PPO minibatcher consumes).
+
+Parity: dynamics via device_sim.waypoint_step (tested against the host
+GoTowardPoint action), reward via device_sim.waypoint_reward (tested against
+the host VLNCEWaypointEnv), auto-reset mirrors VectorEnv auto-reset with the
+episode iterator's round-robin slot assignment.
+
+Enabled by TPU.ON_DEVICE_ROLLOUT; requires GridWorldSim-v0 +
+VLNCEWaypointEnv semantics (host-bound simulators cannot run inside jit).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlnce_tpu.envs.device_sim import (
+    CameraSpec,
+    camera_specs_from_config,
+    geodesic_at,
+    nearest_free_cell_map,
+    render_arrays,
+    waypoint_reward,
+    waypoint_step,
+)
+from vlnce_tpu.envs.gridworld import _RES, get_scene
+from vlnce_tpu.ops.obs_transforms import apply_obs_transforms_batch
+from vlnce_tpu.tasks.datasets import make_dataset
+from vlnce_tpu.tasks.geometry import heading_from_quaternion
+from vlnce_tpu.tasks.sensors import MAX_INSTRUCTION_LEN
+from vlnce_tpu.utils.logging import logger
+
+
+class EpisodeQueue(NamedTuple):
+    """Per-slot queues of upcoming episodes, stacked [B, Q, ...]. Slot b's
+    active episode is entry ep_idx[b]; auto-reset advances the index."""
+
+    occupancy: jnp.ndarray  # [B, Q, N, N] bool
+    wall_colors: jnp.ndarray  # [B, Q, N, N, 3] uint8
+    floor_color: jnp.ndarray  # [B, Q, 3] uint8
+    ceil_color: jnp.ndarray  # [B, Q, 3] uint8
+    goal_field: jnp.ndarray  # [B, Q, N, N] f32
+    nearest: jnp.ndarray  # [B, Q, N, N, 2] int32
+    d0: jnp.ndarray  # [B, Q] f32
+    start_pos: jnp.ndarray  # [B, Q, 3] f32
+    start_heading: jnp.ndarray  # [B, Q] f32
+    instruction: jnp.ndarray  # [B, Q, L] int32
+
+
+def _episode_entry(ep) -> Dict[str, np.ndarray]:
+    scene = get_scene(ep.scene_id)
+    field = None
+    for goal in ep.goals:
+        g = np.asarray(goal.position, np.float64)
+        f = scene.distance_field(scene.world_to_cell(float(g[0]), float(g[-1])))
+        field = f if field is None else np.minimum(field, f)
+    s = np.asarray(ep.start_position, np.float64)
+    si, sj = scene.world_to_cell(float(s[0]), float(s[-1]))
+    tokens = ep.instruction.instruction_tokens or []
+    instr = np.zeros((MAX_INSTRUCTION_LEN,), np.int32)
+    n = min(len(tokens), MAX_INSTRUCTION_LEN)
+    instr[:n] = np.asarray(tokens[:n], np.int32)
+    return {
+        "occupancy": scene.occupancy,
+        "wall_colors": scene.wall_colors,
+        "floor_color": scene.floor_color,
+        "ceil_color": scene.ceil_color,
+        "goal_field": field.astype(np.float32),
+        "nearest": nearest_free_cell_map(ep.scene_id),
+        "d0": np.float32(max(float(field[si, sj]), 1e-6)),
+        "start_pos": s.astype(np.float32),
+        "start_heading": np.float32(
+            heading_from_quaternion(np.asarray(ep.start_rotation, np.float64))
+        ),
+        "instruction": instr,
+    }
+
+
+def build_episode_queue(episodes_by_slot: List[List]) -> EpisodeQueue:
+    fields = EpisodeQueue._fields
+    stacked = {f: [] for f in fields}
+    for slot_eps in episodes_by_slot:
+        entries = [_episode_entry(ep) for ep in slot_eps]
+        for f in fields:
+            stacked[f].append(np.stack([e[f] for e in entries]))
+    return EpisodeQueue(**{f: jnp.asarray(np.stack(stacked[f])) for f in fields})
+
+
+def _gather_slot(queue: EpisodeQueue, ep_idx: jnp.ndarray) -> EpisodeQueue:
+    """Select each slot's active episode: [B, Q, ...] -> [B, ...]."""
+    b = jnp.arange(ep_idx.shape[0])
+    return EpisodeQueue(*(arr[b, ep_idx] for arr in queue))
+
+
+class DeviceRolloutCollector:
+    """Owns the jitted collection scan plus per-slot episode scheduling."""
+
+    def __init__(self, policy, obs_transforms, config, num_envs: int):
+        task_cfg = config.TASK_CONFIG
+        sim_type = task_cfg.SIMULATOR.TYPE
+        if sim_type != "GridWorldSim-v0":
+            raise ValueError(
+                f"TPU.ON_DEVICE_ROLLOUT requires SIMULATOR.TYPE=GridWorldSim-v0 "
+                f"(got {sim_type!r}); host-bound simulators cannot step inside jit"
+            )
+        if config.ENV_NAME != "VLNCEWaypointEnv":
+            raise ValueError(
+                f"TPU.ON_DEVICE_ROLLOUT implements VLNCEWaypointEnv reward/done "
+                f"semantics (got ENV_NAME={config.ENV_NAME!r})"
+            )
+
+        self.policy = policy
+        self.transforms = obs_transforms
+        self.B = num_envs
+        self.T = int(config.RL.PPO.num_steps)
+        self.Q = self.T + 1  # worst case: one done per rollout step
+        self.max_ep_steps = int(task_cfg.ENVIRONMENT.MAX_EPISODE_STEPS)
+        self.specs: List[CameraSpec] = camera_specs_from_config(task_cfg.SIMULATOR)
+        self._rotate_agent = bool(task_cfg.TASK.ACTIONS.GO_TOWARD_POINT.rotate_agent)
+        self._allow_sliding = bool(task_cfg.SIMULATOR.HABITAT_SIM_V0.ALLOW_SLIDING)
+        max_move = float(config.MODEL.WAYPOINT.max_distance_prediction)
+        self._max_samples = max(2, int(math.ceil(max_move / (0.25 * _RES))) + 1)
+        rm = task_cfg.TASK.WAYPOINT_REWARD_MEASURE
+        self._reward_kwargs = dict(
+            slack_reward=float(rm.slack_reward),
+            use_distance_scaled_slack_reward=bool(rm.use_distance_scaled_slack_reward),
+            scale_slack_on_prediction=bool(rm.scale_slack_on_prediction),
+            success_reward=float(rm.success_reward),
+            distance_scalar=float(rm.distance_scalar),
+            success_distance=float(task_cfg.TASK.SUCCESS.SUCCESS_DISTANCE),
+        )
+        num_panos = int(task_cfg.TASK.PANO_ROTATIONS)
+        orient = [2 * np.pi / num_panos * i for i in range(num_panos)]
+        self._angle_features = jnp.asarray(
+            np.stack([np.array([np.sin(o), np.cos(o), 0.0, 1.0]) for o in orient]).astype(np.float32)
+        )
+
+        # episode schedule: round-robin over the train split, one stream per
+        # slot (the analog of construct_envs' scene splitting + auto-reset)
+        dataset = make_dataset(task_cfg.DATASET.TYPE, task_cfg.DATASET)
+        eps = list(dataset.episodes)
+        if not eps:
+            raise ValueError("no episodes in the train split")
+        self._slot_streams = [eps[i :: self.B] or eps for i in range(self.B)]
+        self._slot_ptr = [0] * self.B
+
+        self._collect_fn = None  # built lazily (after params exist)
+        self._carry = None
+
+    # -- episode scheduling ----------------------------------------------------
+    def _slot_episode(self, slot: int, offset: int):
+        stream = self._slot_streams[slot]
+        return stream[(self._slot_ptr[slot] + offset) % len(stream)]
+
+    def _build_queue(self) -> EpisodeQueue:
+        return build_episode_queue(
+            [[self._slot_episode(b, q) for q in range(self.Q)] for b in range(self.B)]
+        )
+
+    # -- obs assembly (shared between scan body and the post-scan render) ------
+    def _assemble_obs(self, scene: EpisodeQueue, pos, heading, hist_rgb, hist_depth):
+        obs = render_arrays(
+            scene.occupancy, scene.wall_colors, scene.floor_color,
+            scene.ceil_color, pos, heading, self.specs,
+        )
+        obs["instruction"] = scene.instruction
+        obs["angle_features"] = jnp.broadcast_to(
+            self._angle_features[None], (pos.shape[0],) + self._angle_features.shape
+        )
+        obs["globalgps"] = pos[:, jnp.array([0, 2])].astype(jnp.float32)
+        two_pi = 2.0 * math.pi
+        obs["heading"] = (((heading + math.pi) % two_pi) - math.pi)[:, None].astype(jnp.float32)
+        batch = apply_obs_transforms_batch(obs, self.transforms)
+        batch["rgb_history"] = hist_rgb
+        batch["depth_history"] = hist_depth
+        return batch
+
+    # -- the jitted scan ---------------------------------------------------------
+    def _build_collect_fn(self):
+        policy = self.policy
+        T, B = self.T, self.B
+        max_ep_steps = self.max_ep_steps
+        rotate_agent, allow_sliding = self._rotate_agent, self._allow_sliding
+        max_samples = self._max_samples
+        rkw = self._reward_kwargs
+
+        def step_env(scene: EpisodeQueue, pos, heading, stop, r, theta):
+            def one(occ, nearest, p, h, s, rr, th):
+                wp, wh = waypoint_step(
+                    occ, nearest, p, h, rr, th, rotate_agent, max_samples, allow_sliding
+                )
+                return jnp.where(s, p, wp), jnp.where(s, h, wh)
+
+            return jax.vmap(one)(scene.occupancy, scene.nearest, pos, heading, stop, r, theta)
+
+        def collect(params, queue: EpisodeQueue, carry, rng):
+            def body(c, t):
+                (pos, heading, rnn, prev_a, mask, prev_d, ep_idx, step_in_ep,
+                 ep_reward, hist_rgb, hist_depth) = c
+                scene = _gather_slot(queue, ep_idx)
+                batch = self._assemble_obs(scene, pos, heading, hist_rgb, hist_depth)
+                out = policy._act_impl(
+                    params, batch, rnn, prev_a, mask, jax.random.fold_in(rng, t), False
+                )
+                stop = out["stop"].reshape(B).astype(bool)
+                r = out["r"].reshape(B)
+                theta = out["theta"].reshape(B)
+
+                new_pos, new_heading = step_env(scene, pos, heading, stop, r, theta)
+                reward, d_new, success = jax.vmap(
+                    lambda f, pd, pp, pa, rr, s: waypoint_reward(f, pd, pp, pa, rr, s, **rkw)
+                )(scene.goal_field, prev_d, pos[:, jnp.array([0, 2])], new_pos, r, stop)
+
+                done = stop | (step_in_ep + 1 >= max_ep_steps)
+                ep_reward2 = ep_reward + reward[:, None]
+                done_f = done.astype(jnp.float32)[:, None]
+                stats = {
+                    "reward": done_f * ep_reward2,
+                    "count": done_f,
+                    "success": done_f * success[:, None],
+                    "distance_to_goal": done_f * d_new[:, None],
+                }
+
+                # auto-reset from the queue (VectorEnv auto-reset analog)
+                ep_idx2 = jnp.where(done, jnp.minimum(ep_idx + 1, queue.d0.shape[1] - 1), ep_idx)
+                nxt = _gather_slot(queue, ep_idx2)
+                pos2 = jnp.where(done[:, None], nxt.start_pos, new_pos)
+                heading2 = jnp.where(done, nxt.start_heading, new_heading)
+                prev_d2 = jnp.where(done, nxt.d0, d_new)
+                step_in_ep2 = jnp.where(done, 0, step_in_ep + 1)
+                ep_reward3 = jnp.where(done[:, None], 0.0, ep_reward2)
+                mask_next = (~done).astype(jnp.float32)[:, None]
+
+                # history frame: the pano frame the agent moved toward; zeros
+                # on STOP (reference ddppo_waypoint_trainer.py:190-200); the
+                # new episode after a reset starts with zero history too
+                pano = out["action_elements"]["pano"].reshape(B).astype(jnp.int32)
+                num_p = batch["rgb"].shape[1]
+                blank = (stop | done)[:, None, None, None]
+                hist_rgb2 = jnp.where(
+                    blank, jnp.zeros_like(hist_rgb),
+                    jnp.take_along_axis(
+                        batch["rgb"], (pano % num_p)[:, None, None, None, None], axis=1
+                    ).squeeze(1),
+                )
+                hist_depth2 = jnp.where(
+                    blank, jnp.zeros_like(hist_depth),
+                    jnp.take_along_axis(
+                        batch["depth"], (pano % num_p)[:, None, None, None, None], axis=1
+                    ).squeeze(1),
+                )
+
+                prev_a2 = {k: v.astype(jnp.float32) for k, v in out["action_elements"].items()}
+                c2 = (pos2, heading2, out["rnn_states"], prev_a2, mask_next, prev_d2,
+                      ep_idx2, step_in_ep2, ep_reward3, hist_rgb2, hist_depth2)
+                emit = {
+                    "obs": batch,
+                    "rnn": out["rnn_states"],
+                    "actions": out["action_elements"],
+                    "log_probs": out["action_log_probs"],
+                    "value": out["value"],
+                    "reward": reward[:, None],
+                    "mask_next": mask_next,
+                    "stats": stats,
+                }
+                return c2, emit
+
+            carry2, seq = jax.lax.scan(body, carry, jnp.arange(T))
+            final_scene = _gather_slot(queue, carry2[6])
+            final_obs = self._assemble_obs(
+                final_scene, carry2[0], carry2[1], carry2[9], carry2[10]
+            )
+            stats = jax.tree_util.tree_map(lambda x: x.sum(0), seq["stats"])
+            seq = {k: v for k, v in seq.items() if k != "stats"}
+            return carry2, seq, final_obs, stats
+
+        return jax.jit(collect)
+
+    # -- public API --------------------------------------------------------------
+    def initial_carry_and_obs(self) -> Dict[str, np.ndarray]:
+        """Set up slot state at the first episodes; returns the initial obs
+        batch for rollout storage slot 0."""
+        queue = self._build_queue()
+        first = _gather_slot(queue, jnp.zeros((self.B,), jnp.int32))
+        rgb_spec = next(s for s in self.specs if s.kind == "rgb")
+        depth_spec = next(s for s in self.specs if s.kind == "depth")
+        hist_rgb = jnp.zeros((self.B, rgb_spec.height, rgb_spec.width, 3), jnp.uint8)
+        hist_depth = jnp.zeros((self.B, depth_spec.height, depth_spec.width, 1), jnp.float32)
+        self._carry = (
+            first.start_pos,
+            first.start_heading,
+            self.policy.initial_rnn_states(self.B),
+            {k: jnp.zeros((self.B, 1), jnp.float32) for k in ("pano", "offset", "distance")},
+            jnp.zeros((self.B, 1), jnp.float32),  # mask: 0 -> reset recurrence
+            first.d0,
+            jnp.zeros((self.B,), jnp.int32),  # ep_idx
+            jnp.zeros((self.B,), jnp.int32),  # step_in_ep
+            jnp.zeros((self.B, 1), jnp.float32),  # episode reward accumulator
+            hist_rgb,
+            hist_depth,
+        )
+        obs0 = self._assemble_obs(first, first.start_pos, first.start_heading, hist_rgb, hist_depth)
+        return {k: np.asarray(v) for k, v in obs0.items()}
+
+    def collect(self, rollouts, current_episode_reward, running_episode_stats, rng) -> int:
+        """One full rollout (T steps) as a single device program; fills the
+        numpy rollout storage. Returns the number of env steps collected."""
+        if self._collect_fn is None:
+            self._collect_fn = self._build_collect_fn()
+        if self._carry is None:
+            raise RuntimeError("call initial_carry_and_obs() before collect()")
+
+        queue = self._build_queue()
+        carry2, seq, final_obs, stats = self._collect_fn(
+            self.policy.params, queue, self._carry, rng
+        )
+
+        # one device->host transfer for the whole rollout
+        seq_np = jax.tree_util.tree_map(np.asarray, seq)
+        final_obs_np = {k: np.asarray(v) for k, v in final_obs.items()}
+        for t in range(self.T):
+            obs_t = (
+                {k: v[t + 1] for k, v in seq_np["obs"].items()}
+                if t + 1 < self.T else final_obs_np
+            )
+            rollouts.insert(
+                obs_t,
+                seq_np["rnn"][t],
+                {k: v[t] for k, v in seq_np["actions"].items()},
+                seq_np["log_probs"][t],
+                seq_np["value"][t],
+                seq_np["reward"][t],
+                seq_np["mask_next"][t],
+            )
+
+        # episode accounting: advance each slot's stream by the episodes it
+        # finished; the in-flight episode becomes queue entry 0 next rollout
+        ep_idx_final = np.asarray(carry2[6])
+        for b in range(self.B):
+            self._slot_ptr[b] = (self._slot_ptr[b] + int(ep_idx_final[b])) % len(self._slot_streams[b])
+        self._carry = (
+            carry2[0], carry2[1], carry2[2], carry2[3], carry2[4], carry2[5],
+            jnp.zeros((self.B,), jnp.int32), carry2[7], carry2[8], carry2[9], carry2[10],
+        )
+
+        stats_np = {k: np.asarray(v) for k, v in stats.items()}
+        # device tracked per-episode reward internally; mirror the host
+        # bookkeeping arrays for logging parity
+        current_episode_reward[:] = np.asarray(carry2[8])
+        for k, v in stats_np.items():
+            if k not in running_episode_stats:
+                running_episode_stats[k] = np.zeros((self.B, 1), np.float32)
+            running_episode_stats[k] += v
+        return self.T * self.B

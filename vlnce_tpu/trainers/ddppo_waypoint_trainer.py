@@ -147,9 +147,24 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
         config = self.config
         add_signal_handlers()
 
-        self.envs = construct_envs(config, get_env_class(config.ENV_NAME))
-        N = self.envs.num_envs
-        self._set_observation_space(self.envs)
+        # on-device rollout mode: no env pool at all — the device-resident
+        # grid world steps inside the collection scan (rl/device_rollout.py)
+        on_device = bool(config.TPU.ON_DEVICE_ROLLOUT)
+        if on_device:
+            env_cls = get_env_class(config.ENV_NAME)
+            probe = env_cls(config.clone())
+
+            class _SpaceHolder:
+                observation_spaces = [probe.observation_space]
+
+            self.envs = None
+            self._set_observation_space(_SpaceHolder())
+            probe.close()
+            N = int(config.NUM_ENVIRONMENTS)
+        else:
+            self.envs = construct_envs(config, get_env_class(config.ENV_NAME))
+            N = self.envs.num_envs
+            self._set_observation_space(self.envs)
         self._initialize_policy_rl(load_from_ckpt=False)
 
         wypt_cfg = config.MODEL.WAYPOINT
@@ -162,26 +177,34 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
             continuous_distance=wypt_cfg.continuous_distance,
         )
 
-        observations = self.envs.reset()
-        obs_history = {
-            "rgb": np.zeros_like(rollouts.observations["rgb_history"][0]),
-            "depth": np.zeros_like(rollouts.observations["depth_history"][0]),
-        }
-        # two-group pipelined rollout collection: group A's sims step while
-        # the device runs group B's act (TPU.PIPELINED_COLLECTION); the device
-        # obs batch is carried per group so no re-upload happens per step
-        pipelined = bool(config.TPU.PIPELINED_COLLECTION) and N >= 2
-        self._group_bounds = [(0, N // 2), (N // 2, N)] if pipelined else [(0, N)]
-        self._dev_batches = []
-        host_parts = []
-        for lo, hi in self._group_bounds:
-            dev_g, host_g = self._prepare_batch(
-                observations[lo:hi], {k: v[lo:hi] for k, v in obs_history.items()}
-            )
-            self._dev_batches.append(dev_g)
-            host_parts.append(host_g)
-        for k in host_parts[0]:
-            rollouts.observations[k][0] = np.concatenate([p[k] for p in host_parts], axis=0)
+        collector = None
+        if on_device:
+            from vlnce_tpu.rl.device_rollout import DeviceRolloutCollector
+
+            collector = DeviceRolloutCollector(self.policy, self.obs_transforms, config, N)
+            for k, v in collector.initial_carry_and_obs().items():
+                rollouts.observations[k][0] = v
+        else:
+            observations = self.envs.reset()
+            obs_history = {
+                "rgb": np.zeros_like(rollouts.observations["rgb_history"][0]),
+                "depth": np.zeros_like(rollouts.observations["depth_history"][0]),
+            }
+            # two-group pipelined rollout collection: group A's sims step while
+            # the device runs group B's act (TPU.PIPELINED_COLLECTION); the device
+            # obs batch is carried per group so no re-upload happens per step
+            pipelined = bool(config.TPU.PIPELINED_COLLECTION) and N >= 2
+            self._group_bounds = [(0, N // 2), (N // 2, N)] if pipelined else [(0, N)]
+            self._dev_batches = []
+            host_parts = []
+            for lo, hi in self._group_bounds:
+                dev_g, host_g = self._prepare_batch(
+                    observations[lo:hi], {k: v[lo:hi] for k, v in obs_history.items()}
+                )
+                self._dev_batches.append(dev_g)
+                host_parts.append(host_g)
+            for k in host_parts[0]:
+                rollouts.observations[k][0] = np.concatenate([p[k] for p in host_parts], axis=0)
 
         current_episode_reward = np.zeros((N, 1), np.float32)
         running_episode_stats = {
@@ -210,13 +233,21 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
             for update in range(start_update, config.RL.NUM_UPDATES):
                 if EXIT["flag"]:
                     break
-                for _step in range(ppo_cfg.num_steps):
-                    d_pth, d_env = self._collect_rollout_step(
-                        rollouts, current_episode_reward, running_episode_stats
+                if on_device:
+                    t0 = time.time()
+                    count_steps += collector.collect(
+                        rollouts, current_episode_reward, running_episode_stats,
+                        self._next_rng(),
                     )
-                    pth_time += d_pth
-                    env_time += d_env
-                    count_steps += N
+                    pth_time += time.time() - t0
+                else:
+                    for _step in range(ppo_cfg.num_steps):
+                        d_pth, d_env = self._collect_rollout_step(
+                            rollouts, current_episode_reward, running_episode_stats
+                        )
+                        pth_time += d_pth
+                        env_time += d_env
+                        count_steps += N
 
                 # one cumulative snapshot per update; logging takes the delta
                 # between the newest and oldest snapshots in the window
@@ -257,7 +288,8 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
             if REQUEUE["flag"]:
                 self._save_interrupted_state(update, count_steps)
 
-        self.envs.close()
+        if self.envs is not None:
+            self.envs.close()
 
     def save_rl_checkpoint(self, name: str, update: int, count_steps: int) -> None:
         save_checkpoint(
