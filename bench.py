@@ -17,10 +17,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: repeat bench runs skip the (minutes-long
+# on a remote-attached chip) compile of the big scan programs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compilation_cache")
 
 B = 32  # env batch per step (one chip serves a pool of sim workers)
 RGB_HW = 224
@@ -231,8 +236,12 @@ def bench_rl_rollout() -> None:
         get_active_obs_transforms,
     )
     from vlnce_tpu.registry import registry
+    import jax.numpy as jnp
+
+    def jnp_sum_scalar(batch):
+        return jnp.sum(batch["returns"])
+
     from vlnce_tpu.rl.device_rollout import DeviceRolloutCollector
-    from vlnce_tpu.rl.rollout_storage import ActionDictRolloutStorage
     import vlnce_tpu.trainers  # noqa: F401
     from vlnce_tpu.envs import ensure_registered
     from vlnce_tpu.envs import rl_envs  # noqa: F401
@@ -271,20 +280,15 @@ def bench_rl_rollout() -> None:
     policy = WaypointPolicy.from_config(cfg, obs_space)
     policy.init_params(jax.random.PRNGKey(0), batch_size=1)
     collector = DeviceRolloutCollector(policy, transforms, cfg, N_ENVS)
-    rollouts = ActionDictRolloutStorage(
-        T, N_ENVS, obs_space, cfg.MODEL.STATE_ENCODER.hidden_size,
-        num_recurrent_layers=policy.num_recurrent_layers,
-    )
-    for k, v in collector.initial_carry_and_obs().items():
-        rollouts.observations[k][0] = v
+    collector.initial_carry_and_obs()
     cer = np.zeros((N_ENVS, 1), np.float32)
     stats = {"count": np.zeros((N_ENVS, 1), np.float32), "reward": np.zeros((N_ENVS, 1), np.float32)}
 
     def run_rollouts(n: int) -> float:
         t0 = time.perf_counter()
         for _ in range(n):
-            rollouts.step = 0
-            collector.collect(rollouts, cer, stats, jax.random.PRNGKey(1))
+            batch, _ = collector.collect_device(cer, stats, jax.random.PRNGKey(1))
+        float(jnp_sum_scalar(batch))  # readback barrier on a small scalar
         return time.perf_counter() - t0
 
     run_rollouts(1)  # compile

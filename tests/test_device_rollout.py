@@ -195,14 +195,48 @@ def test_on_device_ppo_training(tmp_path):
     assert changed, "on-device PPO update did not change any parameter"
 
 
-def test_device_rollout_collector_fills_storage(tmp_path):
-    """The collector fills every rollout tensor with finite values and
-    advances episode bookkeeping."""
-    from vlnce_tpu.rl.device_rollout import DeviceRolloutCollector
-    from vlnce_tpu.rl.rollout_storage import ActionDictRolloutStorage
-    from vlnce_tpu.ops.obs_transforms import get_active_obs_transforms
+def test_gae_parity_with_storage():
+    """compute_returns_device == ActionDictRolloutStorage.compute_returns."""
+    from gymnasium import spaces as gs
 
-    cfg = _waypoint_cfg(str(tmp_path), extra=["RL.PPO.num_steps", 3, "TPU.ON_DEVICE_ROLLOUT", True])
+    from vlnce_tpu.rl.device_rollout import compute_returns_device
+    from vlnce_tpu.rl.rollout_storage import ActionDictRolloutStorage
+
+    T, N = 7, 3
+    rng = np.random.RandomState(0)
+    rewards = rng.randn(T, N, 1).astype(np.float32)
+    values = rng.randn(T, N, 1).astype(np.float32)
+    masks_next = (rng.rand(T, N, 1) > 0.3).astype(np.float32)
+    next_value = rng.randn(N, 1).astype(np.float32)
+
+    for use_gae in (True, False):
+        storage = ActionDictRolloutStorage(
+            T, N, gs.Dict({"x": gs.Box(0, 1, (1,), np.float32)}), 4, 1
+        )
+        storage.rewards[:] = rewards
+        storage.value_preds[:T] = values
+        storage.masks[1 : T + 1] = masks_next
+        storage.step = T
+        storage.compute_returns(next_value, use_gae, gamma=0.99, tau=0.95)
+        dev = np.asarray(
+            compute_returns_device(
+                jnp.asarray(rewards), jnp.asarray(values), jnp.asarray(masks_next),
+                jnp.asarray(next_value), 0.99, 0.95, use_gae,
+            )
+        )
+        np.testing.assert_allclose(dev, storage.returns[:T], atol=1e-5)
+
+
+def test_collect_device_batch(tmp_path):
+    """collect_device produces a finite, correctly-shaped device PPO batch
+    and update_device consumes it (params move)."""
+    from vlnce_tpu.rl.device_rollout import DeviceRolloutCollector
+
+    cfg = _waypoint_cfg(str(tmp_path), extra=[
+        "RL.PPO.num_steps", 3,
+        "RL.PPO.num_mini_batch", 1,
+        "TPU.ON_DEVICE_ROLLOUT", True,
+    ])
     trainer = registry.get_trainer("ddppo-waypoint")(cfg)
     cfg = trainer.config  # pano sensors injected
     env_cls = registry.get_env(cfg.ENV_NAME)
@@ -215,24 +249,28 @@ def test_device_rollout_collector_fills_storage(tmp_path):
     probe.close()
     trainer._initialize_policy_rl(load_from_ckpt=False)
 
-    N = 2
-    rollouts = ActionDictRolloutStorage(
-        3, N, trainer.observation_space, cfg.MODEL.STATE_ENCODER.hidden_size,
-        num_recurrent_layers=trainer.policy.num_recurrent_layers,
-    )
+    N, T = 2, 3
     collector = DeviceRolloutCollector(trainer.policy, trainer.obs_transforms, cfg, N)
-    obs0 = collector.initial_carry_and_obs()
-    for k, v in obs0.items():
-        rollouts.observations[k][0] = v
+    collector.initial_carry_and_obs()
     cer = np.zeros((N, 1), np.float32)
     stats = {"count": np.zeros((N, 1), np.float32), "reward": np.zeros((N, 1), np.float32)}
-    n = collector.collect(rollouts, cer, stats, jax.random.PRNGKey(0))
-    assert n == 3 * N
-    assert rollouts.step == 3
-    assert np.isfinite(rollouts.rewards[:3]).all()
-    assert np.isfinite(rollouts.value_preds[:3]).all()
-    assert np.isfinite(rollouts.action_log_probs[:3]).all()
-    # obs slots 1..3 are filled (non-identical to slot 0 after movement)
-    assert rollouts.observations["rgb"][1:4].any()
-    # masks are 0/1
-    assert set(np.unique(rollouts.masks[:4])) <= {0.0, 1.0}
+    batch, n = collector.collect_device(cer, stats, jax.random.PRNGKey(0))
+    assert n == T * N
+    assert batch["value_preds"].shape == (T, N, 1)
+    assert batch["obs"]["rgb"].shape[:2] == (T, N)
+    for key in ("returns", "advantages", "old_log_probs", "rewards"):
+        assert np.isfinite(np.asarray(batch[key])).all(), key
+    masks = np.asarray(batch["masks"])
+    assert set(np.unique(masks)) <= {0.0, 1.0}
+    assert masks[0].sum() == 0.0  # first step resets recurrence
+
+    before = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), trainer.policy.params)
+    )
+    trainer.agent.update_device(batch, np.random.RandomState(0))
+    after = jax.tree_util.tree_leaves(trainer.policy.params)
+    assert any(not np.allclose(b, np.asarray(a)) for b, a in zip(before, after))
+
+    # second rollout continues from carried state
+    batch2, _ = collector.collect_device(cer, stats, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(batch2["returns"])).all()

@@ -379,6 +379,68 @@ def _raycast(
     return t, hit, hit_ci, hit_cj
 
 
+def render_camera_group(
+    scene_occ: jnp.ndarray,
+    wall_colors: jnp.ndarray,
+    floor_color: jnp.ndarray,
+    ceil_color: jnp.ndarray,
+    pos: jnp.ndarray,
+    heading: jnp.ndarray,
+    orientations: Tuple[float, ...],
+    spec: CameraSpec,
+) -> jnp.ndarray:
+    """K same-spec cameras (e.g. a 12-pano rig) in ONE raycast; port of
+    GridWorldSim._render_cameras/_shade (gridworld.py:375-428) in float32.
+    Grouping matches the host's batched DDA and keeps the jitted graph small
+    (one render program per camera kind, not per camera). Returns
+    [K, H, W, C]."""
+    h, w = spec.height, spec.width
+    K = len(orientations)
+    half_fov = math.radians(spec.hfov_deg) / 2.0
+    xs = jnp.tan(jnp.linspace(-half_fov, half_fov, w))
+    col_angles = -jnp.arctan(xs)
+    headings = (heading + jnp.asarray(orientations)) % (2.0 * math.pi)  # [K]
+    ray_angles = (headings[:, None] + col_angles[None, :]).reshape(-1)  # [K*W]
+
+    max_t = float(spec.max_depth) if spec.kind == "depth" else 1.5 * _WORLD_SIZE
+    t, hit, hit_ci, hit_cj = _raycast(scene_occ, pos, ray_angles, max_t)
+    t = t.reshape(K, w)
+    hit = hit.reshape(K, w)
+
+    perp = t * jnp.cos(jnp.arctan(xs))[None, :]  # [K, W]
+    focal = (w / 2.0) / math.tan(half_fov)
+    horizon = h / 2.0  # tilt not modeled (no LOOK_UP/DOWN in the R2R space)
+    safe_perp = jnp.maximum(perp, 1e-6)
+    top = horizon - focal * (_WALL_HEIGHT - _EYE) / safe_perp  # [K, W]
+    bot = horizon + focal * _EYE / safe_perp
+    rows = jnp.arange(h, dtype=jnp.float32)[None, :, None]  # [1, H, 1]
+    wall_mask = (rows >= top[:, None, :]) & (rows <= bot[:, None, :]) & hit[:, None, :]
+
+    if spec.kind == "depth":
+        below = rows > horizon  # [1, H, 1]
+        denom = jnp.abs(rows - horizon) + 1e-6
+        plane_h = jnp.where(below, _EYE, _WALL_HEIGHT - _EYE)
+        plane_depth = focal * plane_h / denom  # [1, H, 1]
+        depth = jnp.where(
+            wall_mask, perp[:, None, :], jnp.minimum(plane_depth, spec.max_depth)
+        )
+        depth = jnp.clip(depth, spec.min_depth, spec.max_depth)
+        if spec.normalize_depth:
+            depth = (depth - spec.min_depth) / (spec.max_depth - spec.min_depth)
+        return depth.astype(jnp.float32)[..., None]  # [K, H, W, 1]
+
+    colors = wall_colors[hit_ci, hit_cj].reshape(K, w, 3)  # uint8
+    shade = jnp.clip(1.0 - perp / _WORLD_SIZE, 0.25, 1.0)
+    wall_rgb = (colors.astype(jnp.float32) * shade[..., None]).astype(jnp.uint8)
+    img = jnp.where(
+        (rows > horizon)[..., None],
+        floor_color[None, None, None, :],
+        ceil_color[None, None, None, :],
+    ).astype(jnp.uint8)  # [1, H, 1, 3] broadcast
+    img = jnp.broadcast_to(img, (K, h, w, 3))
+    return jnp.where(wall_mask[..., None], wall_rgb[:, None, :, :], img)
+
+
 def render_camera(
     scene_occ: jnp.ndarray,
     wall_colors: jnp.ndarray,
@@ -388,48 +450,11 @@ def render_camera(
     heading: jnp.ndarray,
     spec: CameraSpec,
 ) -> jnp.ndarray:
-    """One frame for one camera; port of GridWorldSim._render_cameras/_shade
-    (gridworld.py:375-428) in float32."""
-    h, w = spec.height, spec.width
-    half_fov = math.radians(spec.hfov_deg) / 2.0
-    xs = jnp.tan(jnp.linspace(-half_fov, half_fov, w))
-    col_angles = -jnp.arctan(xs)
-    ray_angles = (heading + spec.orientation_y) % (2.0 * math.pi) + col_angles
-
-    max_t = float(spec.max_depth) if spec.kind == "depth" else 1.5 * _WORLD_SIZE
-    t, hit, hit_ci, hit_cj = _raycast(scene_occ, pos, ray_angles, max_t)
-
-    perp = t * jnp.cos(jnp.arctan(xs))
-    focal = (w / 2.0) / math.tan(half_fov)
-    horizon = h / 2.0  # tilt not modeled (no LOOK_UP/DOWN in the R2R space)
-    safe_perp = jnp.maximum(perp, 1e-6)
-    top = horizon - focal * (_WALL_HEIGHT - _EYE) / safe_perp
-    bot = horizon + focal * _EYE / safe_perp
-    rows = jnp.arange(h, dtype=jnp.float32)[:, None]
-    wall_mask = (rows >= top[None, :]) & (rows <= bot[None, :]) & hit[None, :]
-
-    if spec.kind == "depth":
-        below = rows > horizon
-        denom = jnp.abs(rows - horizon) + 1e-6
-        plane_h = jnp.where(below, _EYE, _WALL_HEIGHT - _EYE)
-        plane_depth = focal * plane_h / denom
-        depth = jnp.where(
-            wall_mask, perp[None, :], jnp.minimum(plane_depth, spec.max_depth)
-        )
-        depth = jnp.clip(depth, spec.min_depth, spec.max_depth)
-        if spec.normalize_depth:
-            depth = (depth - spec.min_depth) / (spec.max_depth - spec.min_depth)
-        return depth.astype(jnp.float32)[..., None]
-
-    colors = wall_colors[hit_ci, hit_cj]  # [W, 3] uint8
-    shade = jnp.clip(1.0 - perp / _WORLD_SIZE, 0.25, 1.0)
-    wall_rgb = (colors.astype(jnp.float32) * shade[:, None]).astype(jnp.uint8)
-    img = jnp.where(
-        (rows > horizon)[..., None],
-        floor_color[None, None, :],
-        ceil_color[None, None, :],
-    ).astype(jnp.uint8)
-    return jnp.where(wall_mask[..., None], wall_rgb[None, :, :], img)
+    """One frame for one camera (single-orientation group)."""
+    return render_camera_group(
+        scene_occ, wall_colors, floor_color, ceil_color, pos, heading,
+        (spec.orientation_y,), spec,
+    )[0]
 
 
 def render_arrays(
@@ -441,13 +466,26 @@ def render_arrays(
     heading: jnp.ndarray,
     specs: Sequence[CameraSpec],
 ) -> Dict[str, jnp.ndarray]:
-    """All cameras for all envs: obs dict of [B, H, W, C] arrays."""
-    obs = {}
+    """All cameras for all envs: obs dict of [B, H, W, C] arrays.
+
+    Same-spec cameras (a pano rig) share ONE raycast per env — the host's
+    camera grouping (gridworld.py:332-340), which also keeps the compiled
+    graph at one render program per camera kind."""
+    groups: Dict[Tuple, List[CameraSpec]] = {}
     for spec in specs:
-        fn = lambda o, wc, fc, cc, p, hd: render_camera(o, wc, fc, cc, p, hd, spec)
-        obs[spec.uuid] = jax.vmap(fn)(
-            occupancy, wall_colors, floor_color, ceil_color, pos, heading
+        key = spec._replace(uuid="", orientation_y=0.0)
+        groups.setdefault(key, []).append(spec)
+    obs = {}
+    for key, members in groups.items():
+        orientations = tuple(m.orientation_y for m in members)
+        fn = lambda o, wc, fc, cc, p, hd: render_camera_group(
+            o, wc, fc, cc, p, hd, orientations, members[0]
         )
+        frames = jax.vmap(fn)(
+            occupancy, wall_colors, floor_color, ceil_color, pos, heading
+        )  # [B, K, H, W, C]
+        for k, m in enumerate(members):
+            obs[m.uuid] = frames[:, k]
     return obs
 
 

@@ -81,7 +81,9 @@ class ILPolicy:
         rnn_states = self.initial_rnn_states(batch_size)
         prev_actions = jnp.zeros((batch_size, 1), jnp.int32)
         masks = jnp.zeros((batch_size, 1), jnp.float32)
-        variables = self.module.init(rng, obs, rnn_states, prev_actions, masks)
+        # jit the init: eager flax init dispatches hundreds of ops one by one,
+        # which costs minutes on a remote-attached chip (relay latency per op)
+        variables = jax.jit(self.module.init)(rng, obs, rnn_states, prev_actions, masks)
         self.params = variables["params"]
         return self.params
 

@@ -82,7 +82,9 @@ class WaypointPolicy:
 
     def init_params(self, rng, batch_size: int = 1):
         obs = observation_space_example(self.observation_space, batch_size)
-        variables = self.module.init(
+        # jit the init: eager flax init dispatches hundreds of ops one by one,
+        # which costs minutes on a remote-attached chip (relay latency per op)
+        variables = jax.jit(self.module.init)(
             rng, obs, self.initial_rnn_states(batch_size), self.initial_prev_actions(batch_size),
             jnp.zeros((batch_size, 1), jnp.float32),
         )

@@ -106,6 +106,33 @@ def _gather_slot(queue: EpisodeQueue, ep_idx: jnp.ndarray) -> EpisodeQueue:
     return EpisodeQueue(*(arr[b, ep_idx] for arr in queue))
 
 
+def compute_returns_device(rewards, values, masks_next, next_value, gamma, tau, use_gae):
+    """GAE / discounted returns as a reverse scan — the device equivalent of
+    ActionDictRolloutStorage.compute_returns (rl/rollout_storage.py:83-101 /
+    reference common/rollout_storage.py:127-152). rewards/values/masks_next:
+    [T, B, 1]; next_value: [B, 1]."""
+    if use_gae:
+        def gae_step(gae, x):
+            r, v, vn, mn = x
+            delta = r + gamma * vn * mn - v
+            gae = delta + gamma * tau * mn * gae
+            return gae, gae + v
+
+        v_next = jnp.concatenate([values[1:], next_value[None]], axis=0)
+        _, returns = jax.lax.scan(
+            gae_step, jnp.zeros_like(next_value), (rewards, values, v_next, masks_next),
+            reverse=True,
+        )
+    else:
+        def ret_step(nxt, x):
+            r, mn = x
+            ret = r + gamma * nxt * mn
+            return ret, ret
+
+        _, returns = jax.lax.scan(ret_step, next_value, (rewards, masks_next), reverse=True)
+    return returns
+
+
 class DeviceRolloutCollector:
     """Owns the jitted collection scan plus per-slot episode scheduling."""
 
@@ -142,6 +169,11 @@ class DeviceRolloutCollector:
             success_reward=float(rm.success_reward),
             distance_scalar=float(rm.distance_scalar),
             success_distance=float(task_cfg.TASK.SUCCESS.SUCCESS_DISTANCE),
+        )
+        ppo = config.RL.PPO
+        self._gae_bits = (
+            bool(ppo.use_gae), float(ppo.gamma), float(ppo.tau),
+            bool(ppo.use_normalized_advantage),
         )
         num_panos = int(task_cfg.TASK.PANO_ROTATIONS)
         orient = [2 * np.pi / num_panos * i for i in range(num_panos)]
@@ -197,6 +229,7 @@ class DeviceRolloutCollector:
         rotate_agent, allow_sliding = self._rotate_agent, self._allow_sliding
         max_samples = self._max_samples
         rkw = self._reward_kwargs
+        use_gae, gamma, tau, normalize_adv = self._gae_bits
 
         def step_env(scene: EpisodeQueue, pos, heading, stop, r, theta):
             def one(occ, nearest, p, h, s, rr, th):
@@ -269,87 +302,99 @@ class DeviceRolloutCollector:
                       ep_idx2, step_in_ep2, ep_reward3, hist_rgb2, hist_depth2)
                 emit = {
                     "obs": batch,
-                    "rnn": out["rnn_states"],
                     "actions": out["action_elements"],
-                    "log_probs": out["action_log_probs"],
-                    "value": out["value"],
+                    "prev_actions": prev_a,  # INPUT prev-actions at this step
+                    "masks": mask,  # INPUT mask at this step
+                    "old_log_probs": out["action_log_probs"],
+                    "value_preds": out["value"],
                     "reward": reward[:, None],
                     "mask_next": mask_next,
                     "stats": stats,
                 }
                 return c2, emit
 
+            hidden0 = carry[2]
             carry2, seq = jax.lax.scan(body, carry, jnp.arange(T))
+
+            # bootstrap value + GAE entirely in-program (host never sees the
+            # big obs tensors; reference computes this on the host from the
+            # rollout storage, ddppo_waypoint_trainer.py:283-306)
             final_scene = _gather_slot(queue, carry2[6])
             final_obs = self._assemble_obs(
                 final_scene, carry2[0], carry2[1], carry2[9], carry2[10]
             )
+            next_value = policy._value_impl(
+                params, final_obs, carry2[2], carry2[3], carry2[4]
+            )
+            values = seq["value_preds"]  # [T, B, 1]
+            returns = compute_returns_device(
+                seq["reward"], values, seq["mask_next"], next_value, gamma, tau, use_gae
+            )
+            adv = returns - values
+            if normalize_adv:
+                adv = (adv - adv.mean()) / (adv.std() + 1e-5)
+
+            batch = {
+                "obs": seq["obs"],
+                "hidden0": hidden0,
+                "rewards": seq["reward"],
+                "masks_next": seq["mask_next"],
+                "actions": seq["actions"],
+                "prev_actions": seq["prev_actions"],
+                "value_preds": values,
+                "returns": returns,
+                "masks": seq["masks"],
+                "old_log_probs": seq["old_log_probs"],
+                "advantages": adv,
+            }
             stats = jax.tree_util.tree_map(lambda x: x.sum(0), seq["stats"])
-            seq = {k: v for k, v in seq.items() if k != "stats"}
-            return carry2, seq, final_obs, stats
+            return carry2, batch, stats
 
         return jax.jit(collect)
 
     # -- public API --------------------------------------------------------------
     def initial_carry_and_obs(self) -> Dict[str, np.ndarray]:
-        """Set up slot state at the first episodes; returns the initial obs
-        batch for rollout storage slot 0."""
-        queue = self._build_queue()
-        first = _gather_slot(queue, jnp.zeros((self.B,), jnp.int32))
+        """Set up slot state at the first episodes. Returns an empty dict:
+        the initial obs batch need not be rendered separately — the first
+        collect() emits the step-0 obs and writes rollout storage slot 0
+        itself (a standalone render program would cost a second large XLA
+        compile and eager gathers on remote-attached chips)."""
+        firsts = [_episode_entry(self._slot_episode(b, 0)) for b in range(self.B)]
         rgb_spec = next(s for s in self.specs if s.kind == "rgb")
         depth_spec = next(s for s in self.specs if s.kind == "depth")
-        hist_rgb = jnp.zeros((self.B, rgb_spec.height, rgb_spec.width, 3), jnp.uint8)
-        hist_depth = jnp.zeros((self.B, depth_spec.height, depth_spec.width, 1), jnp.float32)
         self._carry = (
-            first.start_pos,
-            first.start_heading,
+            jnp.asarray(np.stack([e["start_pos"] for e in firsts])),
+            jnp.asarray(np.stack([e["start_heading"] for e in firsts])),
             self.policy.initial_rnn_states(self.B),
             {k: jnp.zeros((self.B, 1), jnp.float32) for k in ("pano", "offset", "distance")},
             jnp.zeros((self.B, 1), jnp.float32),  # mask: 0 -> reset recurrence
-            first.d0,
+            jnp.asarray(np.stack([e["d0"] for e in firsts])),
             jnp.zeros((self.B,), jnp.int32),  # ep_idx
             jnp.zeros((self.B,), jnp.int32),  # step_in_ep
             jnp.zeros((self.B, 1), jnp.float32),  # episode reward accumulator
-            hist_rgb,
-            hist_depth,
+            jnp.zeros((self.B, rgb_spec.height, rgb_spec.width, 3), jnp.uint8),
+            jnp.zeros((self.B, depth_spec.height, depth_spec.width, 1), jnp.float32),
         )
-        obs0 = self._assemble_obs(first, first.start_pos, first.start_heading, hist_rgb, hist_depth)
-        return {k: np.asarray(v) for k, v in obs0.items()}
+        return {}
 
-    def collect(self, rollouts, current_episode_reward, running_episode_stats, rng) -> int:
-        """One full rollout (T steps) as a single device program; fills the
-        numpy rollout storage. Returns the number of env steps collected."""
+    def collect_device(self, current_episode_reward, running_episode_stats, rng):
+        """One full rollout (T steps) as a single device program. Returns the
+        PPO batch as DEVICE arrays — obs/returns/advantages/etc never cross
+        the host boundary (feed to WDDPPO.update_device). Only the small
+        per-slot episode stats are read back."""
         if self._collect_fn is None:
             self._collect_fn = self._build_collect_fn()
         if self._carry is None:
-            raise RuntimeError("call initial_carry_and_obs() before collect()")
+            raise RuntimeError("call initial_carry_and_obs() before collect_device()")
 
         queue = self._build_queue()
-        carry2, seq, final_obs, stats = self._collect_fn(
-            self.policy.params, queue, self._carry, rng
-        )
+        carry2, batch, stats = self._collect_fn(self.policy.params, queue, self._carry, rng)
 
-        # one device->host transfer for the whole rollout
-        seq_np = jax.tree_util.tree_map(np.asarray, seq)
-        final_obs_np = {k: np.asarray(v) for k, v in final_obs.items()}
-        for t in range(self.T):
-            obs_t = (
-                {k: v[t + 1] for k, v in seq_np["obs"].items()}
-                if t + 1 < self.T else final_obs_np
-            )
-            rollouts.insert(
-                obs_t,
-                seq_np["rnn"][t],
-                {k: v[t] for k, v in seq_np["actions"].items()},
-                seq_np["log_probs"][t],
-                seq_np["value"][t],
-                seq_np["reward"][t],
-                seq_np["mask_next"][t],
-            )
+        # only the tiny stats/counters come back to the host, in ONE call
+        stats_np, ep_idx_final, ep_reward = jax.device_get((stats, carry2[6], carry2[8]))
 
         # episode accounting: advance each slot's stream by the episodes it
         # finished; the in-flight episode becomes queue entry 0 next rollout
-        ep_idx_final = np.asarray(carry2[6])
         for b in range(self.B):
             self._slot_ptr[b] = (self._slot_ptr[b] + int(ep_idx_final[b])) % len(self._slot_streams[b])
         self._carry = (
@@ -357,12 +402,11 @@ class DeviceRolloutCollector:
             jnp.zeros((self.B,), jnp.int32), carry2[7], carry2[8], carry2[9], carry2[10],
         )
 
-        stats_np = {k: np.asarray(v) for k, v in stats.items()}
         # device tracked per-episode reward internally; mirror the host
         # bookkeeping arrays for logging parity
-        current_episode_reward[:] = np.asarray(carry2[8])
+        current_episode_reward[:] = ep_reward
         for k, v in stats_np.items():
             if k not in running_episode_stats:
                 running_episode_stats[k] = np.zeros((self.B, 1), np.float32)
             running_episode_stats[k] += v
-        return self.T * self.B
+        return batch, self.T * self.B

@@ -209,6 +209,63 @@ class WDDPPO:
             pad_axis1(old_lp), pad_axis1(adv),
         ), valid
 
+    # --------------------------------------------------- update (device batch)
+    def update_device(self, batch: Dict, rng: np.random.RandomState, update_idx: int = 0):
+        """PPO update over a DEVICE-resident rollout batch (from
+        DeviceRolloutCollector.collect_device): minibatch env selection is a
+        device gather, so the big obs/returns tensors never visit the host.
+        Same minibatch semantics and the same compiled per-(T, n) step as
+        update() — only the indexing medium differs."""
+        clip_param = self.cfg.clip_param
+        if getattr(self.cfg, "use_linear_clip_decay", False) and self.num_updates:
+            clip_param *= max(0.0, 1.0 - update_idx / float(self.num_updates))
+        clip_param = jnp.asarray(clip_param, jnp.float32)
+
+        T, N = batch["value_preds"].shape[:2]
+        if N < self.cfg.num_mini_batch:
+            raise ValueError(
+                f"num_envs ({N}) must be >= RL.PPO.num_mini_batch "
+                f"({self.cfg.num_mini_batch}) — same constraint as the host "
+                f"recurrent generator"
+            )
+        envs_per_batch = N // self.cfg.num_mini_batch
+        all_stats = []
+        for _ in range(self.cfg.ppo_epoch):
+            perm = rng.permutation(N)
+            for start in range(0, envs_per_batch * self.cfg.num_mini_batch, envs_per_batch):
+                idx = jnp.asarray(perm[start : start + envs_per_batch])
+                n = int(idx.shape[0])
+                take1 = lambda v: jnp.take(v, idx, axis=1)
+                dev_sample = (
+                    {k: take1(v) for k, v in batch["obs"].items()},
+                    jnp.take(batch["hidden0"], idx, axis=0),
+                    {k: take1(v) for k, v in batch["actions"].items()},
+                    {k: take1(v) for k, v in batch["prev_actions"].items()},
+                    take1(batch["value_preds"]),
+                    take1(batch["returns"]),
+                    take1(batch["masks"]),
+                    take1(batch["old_log_probs"]),
+                    take1(batch["advantages"]),
+                )
+                dev_sample, valid = self._pad_sample(dev_sample, n)
+                n_padded = int(valid.shape[0])
+                key = (T, n_padded)
+                if key not in self._step_cache:
+                    self._step_cache[key] = self._build_step(T, n_padded)
+                self.policy.params, self.optim_state, stats = self._step_cache[key](
+                    self.policy.params, self.optim_state, dev_sample, valid, clip_param
+                )
+                all_stats.append(stats)
+
+        # ONE batched readback for all minibatch stats (per-call readbacks pay
+        # full relay latency on remote-attached chips)
+        all_stats = jax.device_get(all_stats)
+        n_updates = max(len(all_stats), 1)
+        return {
+            k: sum(float(s[k]) for s in all_stats) / n_updates
+            for k in ("value_loss", "action_loss", "entropy_loss", "pano_entropy", "offset_entropy", "distance_entropy")
+        }
+
     # ------------------------------------------------------------------ update
     def update(self, rollouts, rng: np.random.RandomState, update_idx: int = 0):
         # linear clip decay (reference use_linear_clip_decay semantics)

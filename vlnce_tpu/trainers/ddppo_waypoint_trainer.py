@@ -169,22 +169,24 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
 
         wypt_cfg = config.MODEL.WAYPOINT
         ppo_cfg = config.RL.PPO
-        rollouts = ActionDictRolloutStorage(
-            ppo_cfg.num_steps, N, self.observation_space,
-            config.MODEL.STATE_ENCODER.hidden_size,
-            num_recurrent_layers=self.policy.num_recurrent_layers,
-            continuous_offset=wypt_cfg.continuous_offset,
-            continuous_distance=wypt_cfg.continuous_distance,
-        )
-
         collector = None
+        rollouts = None
         if on_device:
+            # fully device-resident training: no host rollout storage at all;
+            # collect_device() hands the PPO batch to update_device() as
+            # device arrays (rl/device_rollout.py)
             from vlnce_tpu.rl.device_rollout import DeviceRolloutCollector
 
             collector = DeviceRolloutCollector(self.policy, self.obs_transforms, config, N)
-            for k, v in collector.initial_carry_and_obs().items():
-                rollouts.observations[k][0] = v
+            collector.initial_carry_and_obs()
         else:
+            rollouts = ActionDictRolloutStorage(
+                ppo_cfg.num_steps, N, self.observation_space,
+                config.MODEL.STATE_ENCODER.hidden_size,
+                num_recurrent_layers=self.policy.num_recurrent_layers,
+                continuous_offset=wypt_cfg.continuous_offset,
+                continuous_distance=wypt_cfg.continuous_distance,
+            )
             observations = self.envs.reset()
             obs_history = {
                 "rgb": np.zeros_like(rollouts.observations["rgb_history"][0]),
@@ -235,10 +237,11 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
                     break
                 if on_device:
                     t0 = time.time()
-                    count_steps += collector.collect(
-                        rollouts, current_episode_reward, running_episode_stats,
+                    device_batch, n_steps = collector.collect_device(
+                        current_episode_reward, running_episode_stats,
                         self._next_rng(),
                     )
+                    count_steps += n_steps
                     pth_time += time.time() - t0
                 else:
                     for _step in range(ppo_cfg.num_steps):
@@ -256,15 +259,20 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
                     window_episode_stats[k].append(v.copy())
 
                 t0 = time.time()
-                last_obs = {k: jnp.asarray(v[rollouts.step]) for k, v in rollouts.observations.items()}
-                last_prev = {k: jnp.asarray(v[rollouts.step]) for k, v in rollouts.prev_actions.items()}
-                next_value = self.policy.get_value(
-                    last_obs, jnp.asarray(rollouts.recurrent_hidden_states[rollouts.step]),
-                    last_prev, jnp.asarray(rollouts.masks[rollouts.step]),
-                )
-                rollouts.compute_returns(np.asarray(next_value), ppo_cfg.use_gae, ppo_cfg.gamma, ppo_cfg.tau)
-                stats = self.agent.update(rollouts, rng_np, update_idx=update)
-                rollouts.after_update()
+                if on_device:
+                    # bootstrap value + GAE already happened inside the
+                    # collection program; minibatches gather on device
+                    stats = self.agent.update_device(device_batch, rng_np, update_idx=update)
+                else:
+                    last_obs = {k: jnp.asarray(v[rollouts.step]) for k, v in rollouts.observations.items()}
+                    last_prev = {k: jnp.asarray(v[rollouts.step]) for k, v in rollouts.prev_actions.items()}
+                    next_value = self.policy.get_value(
+                        last_obs, jnp.asarray(rollouts.recurrent_hidden_states[rollouts.step]),
+                        last_prev, jnp.asarray(rollouts.masks[rollouts.step]),
+                    )
+                    rollouts.compute_returns(np.asarray(next_value), ppo_cfg.use_gae, ppo_cfg.gamma, ppo_cfg.tau)
+                    stats = self.agent.update(rollouts, rng_np, update_idx=update)
+                    rollouts.after_update()
                 pth_time += time.time() - t0
 
                 if update % config.RL.LOG_INTERVAL == 0:
