@@ -129,7 +129,7 @@ def _cell_index(x: jnp.ndarray, z: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarra
 def is_navigable(occupancy: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     """occupancy [N,N]; pos [..., 3] -> bool [...] (gridworld.py:205-210)."""
     ci, cj = _cell_index(pos[..., 0], pos[..., 2])
-    return ~occupancy[ci, cj]
+    return ~(_grid_lookup(occupancy, ci, cj) > 0.5)
 
 
 def _advance(occupancy: jnp.ndarray, start: jnp.ndarray, delta: jnp.ndarray, ts: jnp.ndarray):
@@ -206,7 +206,7 @@ def step_discrete(
 def geodesic_at(goal_field: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     """goal_field [N,N]; pos [3] -> meters (snap handled at field build)."""
     ci, cj = _cell_index(pos[0], pos[2])
-    return goal_field[ci, cj]
+    return _grid_lookup(goal_field, ci, cj)
 
 
 _NEAREST_FREE_CACHE: Dict[str, np.ndarray] = {}
@@ -237,8 +237,8 @@ def snap_point(occupancy: jnp.ndarray, nearest_map: jnp.ndarray, pos: jnp.ndarra
     """GridWorldSim.snap_point (gridworld.py:212-219): unchanged when
     navigable, else the nearest navigable cell center at y=0."""
     ci, cj = _cell_index(pos[0], pos[2])
-    ni = nearest_map[ci, cj, 0].astype(jnp.float32)
-    nj = nearest_map[ci, cj, 1].astype(jnp.float32)
+    ni = _grid_lookup(nearest_map[..., 0], ci, cj)
+    nj = _grid_lookup(nearest_map[..., 1], ci, cj)
     snapped = jnp.stack([(ni + 0.5) * _RES, jnp.zeros_like(ni), (nj + 0.5) * _RES])
     return jnp.where(is_navigable(occupancy, pos), pos, snapped)
 
@@ -363,6 +363,11 @@ def _grid_lookup(grid: jnp.ndarray, ci: jnp.ndarray, cj: jnp.ndarray) -> jnp.nda
     every output is exactly one grid element (grid values up to 256 are
     representable in bf16; the occupancy/colour grids are 0/1 and 0-255).
 
+    Integer/bool grids (values < 256, exact in bf16) take the matmul path;
+    float grids take an exact masked-sum path (f32 one-hot multiply — a bf16
+    matmul would round the grid values), which materializes [S, N] rows and
+    so is meant for SMALL point counts (the geodesic-field and snap lookups).
+
     grid [N, M] (any numeric/bool dtype); ci/cj int32 of any common shape.
     Returns grid's values at (ci, cj) in float32, same shape as ci.
     """
@@ -370,6 +375,14 @@ def _grid_lookup(grid: jnp.ndarray, ci: jnp.ndarray, cj: jnp.ndarray) -> jnp.nda
     n, m = grid.shape
     s = ci.reshape(-1)
     t = cj.reshape(-1)
+    if jnp.issubdtype(grid.dtype, jnp.floating):
+        # where-select, not multiply: the geodesic field holds inf at
+        # unreachable cells and inf * 0 would poison the sum with NaN
+        sel_i = s[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
+        sel_j = t[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]
+        rows = jnp.sum(jnp.where(sel_i[:, :, None], grid[None, :, :], 0), axis=1)
+        vals = jnp.sum(jnp.where(sel_j, rows, 0), axis=1).astype(jnp.float32)
+        return vals.reshape(shape)
     oh_i = (s[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
     oh_j = (t[:, None] == jnp.arange(m, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
     rows = oh_i @ grid.astype(jnp.bfloat16)  # [S, M]

@@ -100,10 +100,26 @@ def build_episode_queue(episodes_by_slot: List[List]) -> EpisodeQueue:
     return EpisodeQueue(**{f: jnp.asarray(np.stack(stacked[f])) for f in fields})
 
 
+def _select_axis1(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """arr [B, Q, ...]; idx [B] int32 -> [B, ...] = arr[b, idx[b]].
+
+    One-hot masked sum instead of a dynamic gather: gathers lower to the TPU
+    scalar unit (30 ms for the raycast's lookup batch vs 0.14 ms as one-hot
+    contractions, measured on-chip — see device_sim._grid_lookup), while the
+    masked sum is a vectorized multiply-add over the small Q/P axis. Exact:
+    a single nonzero term per output, so no accumulation error and no uint8
+    overflow."""
+    q = arr.shape[1]
+    sel = jnp.arange(q, dtype=jnp.int32)[None, :] == idx[:, None]  # [B, Q]
+    s = sel.reshape(sel.shape + (1,) * (arr.ndim - 2))
+    if arr.dtype == jnp.bool_:
+        return jnp.any(arr & s, axis=1)
+    return jnp.sum(arr * s.astype(arr.dtype), axis=1, dtype=arr.dtype)
+
+
 def _gather_slot(queue: EpisodeQueue, ep_idx: jnp.ndarray) -> EpisodeQueue:
     """Select each slot's active episode: [B, Q, ...] -> [B, ...]."""
-    b = jnp.arange(ep_idx.shape[0])
-    return EpisodeQueue(*(arr[b, ep_idx] for arr in queue))
+    return EpisodeQueue(*(_select_axis1(arr, ep_idx) for arr in queue))
 
 
 def compute_returns_device(rewards, values, masks_next, next_value, gamma, tau, use_gae):
@@ -225,6 +241,10 @@ class DeviceRolloutCollector:
     def _build_collect_fn(self):
         policy = self.policy
         T, B = self.T, self.B
+        # filled at trace time: original per-env obs shapes, keyed like the
+        # emitted (flattened) obs dict — consumers unflatten inside their own
+        # jitted programs (WDDPPO._loss)
+        obs_shapes = self.obs_shapes = {}
         max_ep_steps = self.max_ep_steps
         rotate_agent, allow_sliding = self._rotate_agent, self._allow_sliding
         max_samples = self._max_samples
@@ -286,22 +306,26 @@ class DeviceRolloutCollector:
                 blank = (stop | done)[:, None, None, None]
                 hist_rgb2 = jnp.where(
                     blank, jnp.zeros_like(hist_rgb),
-                    jnp.take_along_axis(
-                        batch["rgb"], (pano % num_p)[:, None, None, None, None], axis=1
-                    ).squeeze(1),
+                    _select_axis1(batch["rgb"], pano % num_p),
                 )
                 hist_depth2 = jnp.where(
                     blank, jnp.zeros_like(hist_depth),
-                    jnp.take_along_axis(
-                        batch["depth"], (pano % num_p)[:, None, None, None, None], axis=1
-                    ).squeeze(1),
+                    _select_axis1(batch["depth"], pano % num_p),
                 )
 
                 prev_a2 = {k: v.astype(jnp.float32) for k, v in out["action_elements"].items()}
                 c2 = (pos2, heading2, out["rnn_states"], prev_a2, mask_next, prev_d2,
                       ep_idx2, step_in_ep2, ep_reward3, hist_rgb2, hist_depth2)
+                # emit obs flattened to [B, F]: stacking [T, B, ..., H, W, 1|3]
+                # across scan steps forces XLA into (8,128)-tiled buffers whose
+                # trailing unit/3-channel dims pad up to 128 — measured 26 of
+                # the 36 ms/step (72%) of rollout collection. [T, B, F] with F
+                # a multiple of 128 tiles cleanly; the PPO loss unflattens
+                # in-program where the reshape fuses into the encoder.
+                for k, v in batch.items():
+                    obs_shapes[k] = tuple(v.shape[1:])
                 emit = {
-                    "obs": batch,
+                    "obs": {k: v.reshape((B, -1)) for k, v in batch.items()},
                     "actions": out["action_elements"],
                     "prev_actions": prev_a,  # INPUT prev-actions at this step
                     "masks": mask,  # INPUT mask at this step
@@ -409,4 +433,6 @@ class DeviceRolloutCollector:
             if k not in running_episode_stats:
                 running_episode_stats[k] = np.zeros((self.B, 1), np.float32)
             running_episode_stats[k] += v
+        batch = dict(batch)
+        batch["obs_shapes"] = dict(self.obs_shapes)  # host metadata for _loss
         return batch, self.T * self.B

@@ -61,7 +61,11 @@ class WDDPPO:
         )
         self.optim_state = self.optimizer.init(policy.params)
         self.num_updates = num_updates
-        self._step_cache: Dict[Tuple[int, int], any] = {}
+        self._step_cache: Dict[tuple, any] = {}
+        # set by update_device from a DeviceRolloutCollector batch: obs arrive
+        # flattened [T, n, F] (scan-stacking image shapes triggers padded TPU
+        # tile layouts) and are unflattened inside the jitted loss
+        self._obs_shapes: Optional[Dict[str, tuple]] = None
 
     # ------------------------------------------------------------- advantages
     def get_advantages(self, rollouts) -> np.ndarray:
@@ -81,6 +85,14 @@ class WDDPPO:
             masks, old_log_probs, adv_targ,
         ) = sample
         n = valid.shape[0]
+        if self._obs_shapes:
+            # restore image shapes from the collector's flattened emit (a
+            # no-op reshape when obs already carry their full shapes)
+            obs = {
+                k: v.reshape(v.shape[:2] + tuple(self._obs_shapes[k]))
+                if k in self._obs_shapes else v
+                for k, v in obs.items()
+            }
 
         def flat(v):
             return v.reshape((T * v.shape[1],) + v.shape[2:])
@@ -221,6 +233,10 @@ class WDDPPO:
             clip_param *= max(0.0, 1.0 - update_idx / float(self.num_updates))
         clip_param = jnp.asarray(clip_param, jnp.float32)
 
+        obs_shapes = batch.get("obs_shapes")
+        if obs_shapes is not None:
+            self._obs_shapes = dict(obs_shapes)
+
         T, N = batch["value_preds"].shape[:2]
         if N < self.cfg.num_mini_batch:
             raise ValueError(
@@ -249,7 +265,7 @@ class WDDPPO:
                 )
                 dev_sample, valid = self._pad_sample(dev_sample, n)
                 n_padded = int(valid.shape[0])
-                key = (T, n_padded)
+                key = (T, n_padded, tuple(sorted((self._obs_shapes or {}).items())))
                 if key not in self._step_cache:
                     self._step_cache[key] = self._build_step(T, n_padded)
                 self.policy.params, self.optim_state, stats = self._step_cache[key](
@@ -294,7 +310,7 @@ class WDDPPO:
                 )
                 dev_sample, valid = self._pad_sample(dev_sample, n)
                 n_padded = int(valid.shape[0])
-                key = (T, n_padded)
+                key = (T, n_padded, tuple(sorted((self._obs_shapes or {}).items())))
                 if key not in self._step_cache:
                     self._step_cache[key] = self._build_step(T, n_padded)
                 self.policy.params, self.optim_state, stats = self._step_cache[key](
