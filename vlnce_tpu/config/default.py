@@ -94,6 +94,10 @@ _C.TPU.PIPELINED_COLLECTION = False
 _C.TPU.ON_DEVICE_ROLLOUT = False
 # pad env batch to a fixed size so pause_at never retriggers compilation
 _C.TPU.PAD_ENV_BATCH = True
+# on-device rollouts: keep the whole episode split device-resident (one
+# upload) when it has at most this many episodes; larger splits fall back to
+# re-uploading the per-rollout episode queue (~65KB/episode of HBM when on)
+_C.TPU.EPISODE_BANK_MAX = 8192
 _C.TPU.PROFILE_DIR = ""  # if set, write jax.profiler traces here
 
 # ---------------------------------------------------------------------------
