@@ -238,3 +238,50 @@ def test_metrics_replay_matches_env(tmp_path):
     assert set(replay_stats) == set(host_stats)
     for k in host_stats:
         np.testing.assert_allclose(replay_stats[k], host_stats[k], atol=1e-6, err_msg=k)
+
+
+def test_grid_lookup_matches_gather():
+    """The one-hot-contraction lookup equals plain indexing for every grid
+    dtype on the hot paths: bool occupancy, uint8 colors, int32 nearest maps,
+    and f32 distance fields containing inf (unreachable cells must not
+    poison the masked sum with NaN)."""
+    rng = np.random.RandomState(7)
+    n, m = 64, 64
+    ci = jnp.asarray(rng.randint(0, n, (5, 33)).astype(np.int32))
+    cj = jnp.asarray(rng.randint(0, m, (5, 33)).astype(np.int32))
+
+    grids = {
+        "bool": rng.rand(n, m) > 0.6,
+        "uint8": rng.randint(0, 256, (n, m)).astype(np.uint8),
+        "int32": rng.randint(0, n, (n, m)).astype(np.int32),
+        "f32": rng.rand(n, m).astype(np.float32) * 37.0,
+    }
+    f32_inf = grids["f32"].copy()
+    f32_inf[rng.rand(n, m) > 0.8] = np.inf
+    grids["f32_inf"] = f32_inf
+
+    for name, g in grids.items():
+        got = np.asarray(ds._grid_lookup(jnp.asarray(g), ci, cj))
+        want = g[np.asarray(ci), np.asarray(cj)].astype(np.float32)
+        np.testing.assert_array_equal(got, want, err_msg=name)
+
+
+def test_select_axis1_matches_gather():
+    """One-hot slot selection equals arr[b, idx[b]] for every queue dtype,
+    keeping the input dtype (uint8 image frames must not widen)."""
+    from vlnce_tpu.rl.device_rollout import _select_axis1
+
+    rng = np.random.RandomState(3)
+    b, q = 6, 17
+    idx = jnp.asarray(rng.randint(0, q, (b,)).astype(np.int32))
+    arrs = {
+        "bool": rng.rand(b, q, 4, 4) > 0.5,
+        "uint8": rng.randint(0, 256, (b, q, 3, 2, 3)).astype(np.uint8),
+        "int32": rng.randint(-50, 50, (b, q, 8)).astype(np.int32),
+        "f32": rng.randn(b, q, 5).astype(np.float32),
+    }
+    for name, a in arrs.items():
+        got = _select_axis1(jnp.asarray(a), idx)
+        assert got.dtype == a.dtype, name
+        want = a[np.arange(b), np.asarray(idx)]
+        np.testing.assert_array_equal(np.asarray(got), want, err_msg=name)
