@@ -274,3 +274,57 @@ def test_collect_device_batch(tmp_path):
     # second rollout continues from carried state
     batch2, _ = collector.collect_device(cer, stats, jax.random.PRNGKey(1))
     assert np.isfinite(np.asarray(batch2["returns"])).all()
+
+
+def test_collect_device_sharded_matches_single(tmp_path):
+    """Rollout collection pjit'd over a 2-device data mesh produces the same
+    batch as the single-device collect (env slots are independent; only the
+    advantage normalization reduces globally), and the mesh rejects env
+    counts that don't divide the data axis."""
+    from vlnce_tpu.parallel.mesh import make_mesh
+    from vlnce_tpu.rl.device_rollout import DeviceRolloutCollector
+
+    cfg = _waypoint_cfg(str(tmp_path), extra=[
+        "RL.PPO.num_steps", 3,
+        "RL.PPO.num_mini_batch", 1,
+        "TPU.ON_DEVICE_ROLLOUT", True,
+    ])
+    trainer = registry.get_trainer("ddppo-waypoint")(cfg)
+    cfg = trainer.config
+    env_cls = registry.get_env(cfg.ENV_NAME)
+    probe = env_cls(cfg.clone())
+
+    class _H:
+        observation_spaces = [probe.observation_space]
+
+    trainer._set_observation_space(_H())
+    probe.close()
+    trainer._initialize_policy_rl(load_from_ckpt=False)
+
+    N = 2
+    mesh = make_mesh(num_devices=2)
+
+    with pytest.raises(ValueError, match="divisible"):
+        DeviceRolloutCollector(trainer.policy, trainer.obs_transforms, cfg, 3, mesh=mesh)
+
+    def run(mesh_arg):
+        coll = DeviceRolloutCollector(
+            trainer.policy, trainer.obs_transforms, cfg, N, mesh=mesh_arg
+        )
+        coll.initial_carry_and_obs()
+        cer = np.zeros((N, 1), np.float32)
+        stats = {"count": np.zeros((N, 1), np.float32)}
+        batch, _ = coll.collect_device(cer, stats, jax.random.PRNGKey(0))
+        return batch
+
+    single = run(None)
+    sharded = run(mesh)
+    for key in ("returns", "advantages", "rewards", "masks", "old_log_probs"):
+        np.testing.assert_allclose(
+            np.asarray(single[key]), np.asarray(sharded[key]), atol=1e-4, err_msg=key
+        )
+    for k in single["actions"]:
+        np.testing.assert_allclose(
+            np.asarray(single["actions"][k]), np.asarray(sharded["actions"][k]),
+            atol=1e-5, err_msg=f"actions/{k}",
+        )

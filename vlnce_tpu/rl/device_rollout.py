@@ -38,6 +38,7 @@ from vlnce_tpu.envs.device_sim import (
     waypoint_step,
 )
 from vlnce_tpu.envs.gridworld import _RES, get_scene
+from vlnce_tpu.parallel.mesh import DATA_AXIS
 from vlnce_tpu.ops.obs_transforms import apply_obs_transforms_batch
 from vlnce_tpu.tasks.datasets import make_dataset
 from vlnce_tpu.tasks.geometry import heading_from_quaternion
@@ -152,7 +153,7 @@ def compute_returns_device(rewards, values, masks_next, next_value, gamma, tau, 
 class DeviceRolloutCollector:
     """Owns the jitted collection scan plus per-slot episode scheduling."""
 
-    def __init__(self, policy, obs_transforms, config, num_envs: int):
+    def __init__(self, policy, obs_transforms, config, num_envs: int, mesh=None):
         task_cfg = config.TASK_CONFIG
         sim_type = task_cfg.SIMULATOR.TYPE
         if sim_type != "GridWorldSim-v0":
@@ -221,6 +222,21 @@ class DeviceRolloutCollector:
         self._bank_pos = (
             {id(ep): i for i, ep in enumerate(eps)} if self._bank_episodes else None
         )
+
+        # data-parallel mesh: the env axis shards over DATA (the collection
+        # scan is embarrassingly parallel over slots; only the advantage
+        # normalization reduces globally, which GSPMD turns into an ICI
+        # all-reduce). Fails loudly on a non-divisible env count — same
+        # policy as WDDPPO's padded minibatches, but here padding would
+        # corrupt the episode schedule, so we require divisibility instead.
+        self.mesh = mesh
+        if mesh is not None:
+            n_data = mesh.shape[DATA_AXIS]
+            if self.B % n_data != 0:
+                raise ValueError(
+                    f"TPU.ON_DEVICE_ROLLOUT with a {n_data}-way data mesh needs "
+                    f"NUM_ENVIRONMENTS divisible by it (got {self.B})"
+                )
 
         self._collect_fn = None  # built lazily (after params exist)
         self._carry = None
@@ -417,7 +433,28 @@ class DeviceRolloutCollector:
             stats = jax.tree_util.tree_map(lambda x: x.sum(0), seq["stats"])
             return carry2, batch, stats
 
-        return jax.jit(collect)
+        if self.mesh is None:
+            return jax.jit(collect)
+
+        # pjit over the mesh: params/bank replicated, env-batched args
+        # sharded on axis 0; output shardings propagate (batch [T, B, ...]
+        # comes out env-sharded on axis 1, exactly what WDDPPO's shard_map
+        # update consumes)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+        env0 = NamedSharding(self.mesh, P(DATA_AXIS))
+        return jax.jit(
+            collect,
+            in_shardings=(repl, repl, env0, jax.tree_util.tree_map(lambda _: env0, self._carry_structure()), repl),
+        )
+
+    def _carry_structure(self):
+        """A pytree with the carry's structure (values unused) for building
+        prefix shardings; every carry leaf is batch-major."""
+        if self._carry is None:
+            raise RuntimeError("carry must exist before building the collect fn")
+        return self._carry
 
     # -- public API --------------------------------------------------------------
     def initial_carry_and_obs(self) -> Dict[str, np.ndarray]:
@@ -449,10 +486,10 @@ class DeviceRolloutCollector:
         PPO batch as DEVICE arrays — obs/returns/advantages/etc never cross
         the host boundary (feed to WDDPPO.update_device). Only the small
         per-slot episode stats are read back."""
-        if self._collect_fn is None:
-            self._collect_fn = self._build_collect_fn()
         if self._carry is None:
             raise RuntimeError("call initial_carry_and_obs() before collect_device()")
+        if self._collect_fn is None:
+            self._collect_fn = self._build_collect_fn()
 
         bank, slot_map = self._rollout_inputs()
         carry2, batch, stats = self._collect_fn(

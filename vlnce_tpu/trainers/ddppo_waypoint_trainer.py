@@ -17,6 +17,7 @@ running stats) is written to RL.DDPPO.requeue_path and restored on restart.
 from __future__ import annotations
 
 import json
+import math
 import os
 import signal
 import time
@@ -40,7 +41,7 @@ from vlnce_tpu.ops.obs_transforms import (
     apply_obs_transforms_obs_space,
     get_active_obs_transforms,
 )
-from vlnce_tpu.parallel.mesh import resolve_training_mesh
+from vlnce_tpu.parallel.mesh import DATA_AXIS, make_mesh, resolve_training_mesh
 from vlnce_tpu.rl.ppo import WDDPPO
 from vlnce_tpu.rl.rollout_storage import ActionDictRolloutStorage
 from vlnce_tpu.trainers.base_trainer import BaseVLNCETrainer
@@ -108,6 +109,28 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
         # unavailable); minibatches whose env axis doesn't divide the data
         # axis are PADDED in WDDPPO._pad_sample, never silently single-device
         mesh = resolve_training_mesh(config)
+        if mesh is not None and bool(config.TPU.ON_DEVICE_ROLLOUT):
+            # with device-resident rollouts the env axis IS the data axis for
+            # both collection and the PPO update (they share the [T, N, ...]
+            # batch on the same devices), so N must divide the mesh. Auto
+            # meshes (DATA=-1) shrink to the largest divisor with a warning;
+            # an explicitly requested width fails loudly.
+            N = int(config.NUM_ENVIRONMENTS)
+            n_data = mesh.shape[DATA_AXIS]
+            if N % n_data != 0:
+                if int(config.TPU.MESH.DATA) == -1:
+                    g = math.gcd(N, n_data)
+                    logger.warning(
+                        f"ON_DEVICE_ROLLOUT: {N} envs don't divide the auto "
+                        f"{n_data}-way data mesh; using a {g}-way mesh"
+                    )
+                    mesh = make_mesh(num_devices=g) if g > 1 else None
+                else:
+                    raise ValueError(
+                        f"TPU.ON_DEVICE_ROLLOUT with TPU.MESH.DATA={n_data} "
+                        f"needs NUM_ENVIRONMENTS divisible by it (got {N})"
+                    )
+        self._mesh = mesh
         self.agent = WDDPPO(
             self.policy,
             config.RL.PPO,
@@ -177,7 +200,10 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
             # device arrays (rl/device_rollout.py)
             from vlnce_tpu.rl.device_rollout import DeviceRolloutCollector
 
-            collector = DeviceRolloutCollector(self.policy, self.obs_transforms, config, N)
+            collector = DeviceRolloutCollector(
+                self.policy, self.obs_transforms, config, N,
+                mesh=getattr(self, "_mesh", None),
+            )
             collector.initial_carry_and_obs()
         else:
             rollouts = ActionDictRolloutStorage(
