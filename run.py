@@ -9,9 +9,16 @@ CLI parity with reference run.py:22-43:
 from __future__ import annotations
 
 import argparse
+import os
 import random
 
 import numpy as np
+
+# persistent XLA compilation cache: the big jitted programs (rollout scans,
+# sharded train steps) take minutes to compile on remote-attached chips; the
+# cache makes every run after the first start in seconds. Overridable, and
+# harmless on CPU.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compilation_cache")
 
 
 def main() -> None:

@@ -232,3 +232,39 @@ def test_inference_writes_r2r_and_rxr_predictions(tmp_path):
         assert "instruction_id" in entry and "path" in entry
         path = entry["path"]
         assert all(a != b for a, b in zip(path[:-1], path[1:]))  # deduped
+
+
+def test_inference_on_device_scan_matches_format(tmp_path):
+    """INFERENCE.ON_DEVICE_SCAN writes the same r2r prediction structure as
+    the host inference loop: pose infos starting at the episode start state,
+    ending with stop=True (or the step cap), and every episode present."""
+    import json
+
+    tmp = str(tmp_path)
+    cfg = get_config(opts=base_opts(tmp))
+    trainer = registry.get_trainer("dagger")(cfg)
+    trainer.train()
+    ckpt = f"{tmp}/ckpts/ckpt.0.ckpt"
+
+    cfg_dev = get_config(opts=base_opts(tmp, [
+        "INFERENCE.CKPT_PATH", ckpt,
+        "INFERENCE.SPLIT", "val_unseen",
+        "INFERENCE.USE_CKPT_CONFIG", False,
+        "INFERENCE.FORMAT", "r2r",
+        "INFERENCE.PREDICTIONS_FILE", f"{tmp}/preds_dev.json",
+        "INFERENCE.ON_DEVICE_SCAN", True,
+        "TASK_CONFIG.DATASET.NUM_EPISODES", 3,
+        "EVAL.SCAN_BATCH", 2,
+        "EVAL.SCAN_SEGMENT", 4,
+    ]))
+    registry.get_trainer("dagger")(cfg_dev).inference()
+    with open(f"{tmp}/preds_dev.json") as f:
+        preds = json.load(f)
+    assert len(preds) == 3
+    max_steps = int(cfg_dev.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS)
+    for ep_id, steps in preds.items():
+        assert len(steps) >= 2
+        for s in steps:
+            assert "position" in s and "heading" in s and "stop" in s
+        assert not steps[0]["stop"]
+        assert steps[-1]["stop"] or len(steps) - 1 >= max_steps

@@ -134,6 +134,10 @@ _C.INFERENCE.INFERENCE_NONLEARNING = False
 _C.INFERENCE.NONLEARNING = CN()
 _C.INFERENCE.NONLEARNING.AGENT = "RandomAgent"
 _C.INFERENCE.FORMAT = "rxr"  # either "rxr" or "r2r"
+# closed-loop action collection as on-device lax.scan segments (requires
+# GridWorldSim-v0), pose trace via host replay — the inference analog of
+# EVAL.ON_DEVICE_SCAN
+_C.INFERENCE.ON_DEVICE_SCAN = False
 
 # ---------------------------------------------------------------------------
 # IMITATION LEARNING

@@ -393,6 +393,12 @@ class BaseVLNCETrainer:
         config.ENV_NAME = "VLNCEInferenceEnv"
         config.freeze()
 
+        if config.INFERENCE.ON_DEVICE_SCAN:
+            from vlnce_tpu.trainers.scan_eval import inference_on_device
+
+            inference_on_device(self, config)
+            return
+
         envs = construct_envs_auto_reset_false(config, get_env_class(config.ENV_NAME))
         self.obs_transforms = get_active_obs_transforms(config)
         observation_space, action_space = self._get_spaces(config, envs=envs)

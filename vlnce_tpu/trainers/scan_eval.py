@@ -208,6 +208,93 @@ def metrics_from_actions(config, episodes: List, action_seqs: List[np.ndarray]) 
     return stats
 
 
+def infos_from_actions(config, episodes: List, action_seqs: List[np.ndarray]) -> Dict[str, List[Dict]]:
+    """Replay recorded actions, recording the inference info dict (position /
+    heading / stop) at the start state and after every step — exactly the
+    per-step payload the host inference loop collects from
+    VLNCEInferenceEnv.get_info (rl_envs.py:110-117; reference
+    environments.py:35-59)."""
+    from vlnce_tpu.registry import registry
+    from vlnce_tpu.tasks.task import VLNTask
+
+    task_cfg = config.TASK_CONFIG.clone()
+    task_cfg.defrost()
+    task_cfg.SIMULATOR.AGENT_0.SENSORS = []
+    task_cfg.TASK.SENSORS = []
+    task_cfg.TASK.MEASUREMENTS = []
+    task_cfg.freeze()
+    sim_cls = registry.get_simulator(task_cfg.SIMULATOR.TYPE)
+    sim = sim_cls(task_cfg.SIMULATOR)
+    task = VLNTask(task_cfg.TASK, sim)
+    max_steps = int(task_cfg.ENVIRONMENT.MAX_EPISODE_STEPS)
+
+    def info() -> Dict:
+        state = sim.get_agent_state()
+        return {
+            "position": [float(x) for x in state.position],
+            "heading": heading_from_quaternion(state.rotation),
+            "stop": task.is_stop_called,
+        }
+
+    preds: Dict[str, List[Dict]] = {}
+    for ep, seq in zip(episodes, action_seqs):
+        sim.reconfigure(ep.scene_id)
+        sim.reset()
+        sim.set_agent_state(ep.start_position, ep.start_rotation)
+        task.reset(ep)
+        infos = [info()]
+        steps = 0
+        for a in seq:
+            task.step(int(a), ep)
+            infos.append(info())
+            steps += 1
+            if task.is_stop_called or steps >= max_steps:
+                break
+        preds[ep.episode_id] = infos
+    return preds
+
+
+def inference_on_device(trainer, config) -> None:
+    """Scan-inference drop-in for BaseVLNCETrainer.inference's env loop:
+    closed-loop action collection on device, pose trace via host replay,
+    predictions written in the same r2r/rxr formats."""
+    from vlnce_tpu.ops.obs_transforms import get_active_obs_transforms
+
+    _check_supported(config)
+
+    dataset = make_dataset(config.TASK_CONFIG.DATASET.TYPE, config.TASK_CONFIG.DATASET)
+    episodes = list(dataset.episodes)
+
+    trainer.obs_transforms = get_active_obs_transforms(config)
+    observation_space, action_space = trainer._get_spaces(config)
+    trainer._initialize_policy(
+        config, load_from_ckpt=os.path.exists(config.IL.ckpt_to_load),
+        observation_space=observation_space, action_space=action_space,
+    )
+
+    # the scan rollout honors EVAL.SAMPLE; inference's sampling flag lives in
+    # INFERENCE.SAMPLE — mirror it over
+    run_cfg = config.clone()
+    run_cfg.defrost()
+    run_cfg.EVAL.SAMPLE = bool(config.INFERENCE.SAMPLE)
+    run_cfg.freeze()
+
+    pbar = tqdm.tqdm(total=len(episodes), desc="scan-inference")
+    action_seqs = run_scan_rollouts(
+        trainer.policy, trainer.obs_transforms, run_cfg, episodes,
+        trainer._next_rng(), progress_cb=pbar.update,
+    )
+    pbar.close()
+
+    episode_predictions = infos_from_actions(config, episodes, action_seqs)
+    instruction_ids: Dict[str, str] = {}
+    if config.INFERENCE.FORMAT == "rxr":
+        for ep in episodes:
+            k = getattr(ep.instruction, "instruction_id", None) or ep.episode_id
+            instruction_ids[ep.episode_id] = int(k) if str(k).isdigit() else k
+    trainer._write_predictions(config, episode_predictions, instruction_ids)
+
+
 def eval_checkpoint_on_device(
     trainer, config, checkpoint_path: str, writer, checkpoint_index: int,
     stats_fname: Optional[str],
