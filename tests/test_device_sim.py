@@ -285,3 +285,19 @@ def test_select_axis1_matches_gather():
         assert got.dtype == a.dtype, name
         want = a[np.arange(b), np.asarray(idx)]
         np.testing.assert_array_equal(np.asarray(got), want, err_msg=name)
+
+
+def test_scan_eval_renders_videos(tmp_path):
+    """EVAL.ON_DEVICE_SCAN + VIDEO_OPTION: frames are composed during the
+    metrics replay (host cameras) and written to disk like the host loop."""
+    tmp = str(tmp_path)
+    cfg = get_config(opts=_eval_opts(tmp, extra=[
+        "VIDEO_OPTION", "[disk]",
+        "VIDEO_DIR", f"{tmp}/videos",
+        "EVAL.EPISODE_COUNT", 2,
+    ]))
+    trainer = registry.get_trainer("dagger")(cfg)
+    stats = trainer._eval_checkpoint(f"{tmp}/nonexistent.ckpt", _NullWriter(), 0)
+    assert stats is not None
+    vids = os.listdir(f"{tmp}/videos")
+    assert len(vids) >= 2, vids

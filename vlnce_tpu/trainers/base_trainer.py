@@ -241,17 +241,13 @@ class BaseVLNCETrainer:
                 return
 
         if config.EVAL.ON_DEVICE_SCAN:
-            if len(config.VIDEO_OPTION) > 0:
-                logger.warning(
-                    "EVAL.ON_DEVICE_SCAN does not render eval videos; "
-                    "falling back to the host eval loop for this checkpoint."
-                )
-            else:
-                from vlnce_tpu.trainers.scan_eval import eval_checkpoint_on_device
+            # videos are rendered during the metrics replay (host cameras,
+            # only for this checkpoint's episodes) — scan_eval.metrics_from_actions
+            from vlnce_tpu.trainers.scan_eval import eval_checkpoint_on_device
 
-                return eval_checkpoint_on_device(
-                    self, config, checkpoint_path, writer, checkpoint_index, fname
-                )
+            return eval_checkpoint_on_device(
+                self, config, checkpoint_path, writer, checkpoint_index, fname
+            )
 
         envs = construct_envs_auto_reset_false(config, get_env_class(config.ENV_NAME))
         self.obs_transforms = get_active_obs_transforms(config)

@@ -172,16 +172,26 @@ def run_scan_rollouts(
     return all_actions
 
 
-def metrics_from_actions(config, episodes: List, action_seqs: List[np.ndarray]) -> Dict[str, Dict]:
-    """Replay recorded actions through the host measure machinery (no
-    cameras, so zero rendering cost). Produces exactly the per-episode info
-    dicts the host eval loop records."""
+def metrics_from_actions(
+    config,
+    episodes: List,
+    action_seqs: List[np.ndarray],
+    writer=None,
+    checkpoint_index: int = 0,
+) -> Dict[str, Dict]:
+    """Replay recorded actions through the host measure machinery. With no
+    VIDEO_OPTION the replay runs with zero cameras (no rendering cost);
+    otherwise the cameras stay attached and per-step frames are composed and
+    written exactly like the host eval loop's (base_trainer.py:310-332).
+    Produces the per-episode info dicts the host eval loop records."""
     from vlnce_tpu.registry import registry
     from vlnce_tpu.tasks.task import VLNTask
 
+    video = list(getattr(config, "VIDEO_OPTION", []) or [])
     task_cfg = config.TASK_CONFIG.clone()
     task_cfg.defrost()
-    task_cfg.SIMULATOR.AGENT_0.SENSORS = []
+    if not video:
+        task_cfg.SIMULATOR.AGENT_0.SENSORS = []
     task_cfg.TASK.SENSORS = []
     task_cfg.freeze()
     sim_cls = registry.get_simulator(task_cfg.SIMULATOR.TYPE)
@@ -196,15 +206,34 @@ def metrics_from_actions(config, episodes: List, action_seqs: List[np.ndarray]) 
         sim.set_agent_state(ep.start_position, ep.start_rotation)
         task.reset(ep)
         steps = 0
+        frames = []
         for a in seq:
-            task.step(int(a), ep)
+            obs = task.step(int(a), ep)
             steps += 1
+            if video:
+                from vlnce_tpu.utils.video import (
+                    append_text_to_image, observations_to_image,
+                )
+
+                frame = observations_to_image(obs, task.measurements.get_metrics())
+                frames.append(
+                    append_text_to_image(frame, ep.instruction.instruction_text)
+                )
             if task.is_stop_called or steps >= max_steps:
                 break
         metrics = task.measurements.get_metrics()
         stats[ep.episode_id] = {
             k: v for k, v in metrics.items() if np.isscalar(v) or isinstance(v, (int, float))
         }
+        if video:
+            from vlnce_tpu.utils.video import generate_video
+
+            generate_video(
+                video_option=video, video_dir=config.VIDEO_DIR, images=frames,
+                episode_id=ep.episode_id, checkpoint_idx=checkpoint_index,
+                metrics={"spl": stats[ep.episode_id].get("spl", 0.0)},
+                tb_writer=writer,
+            )
     return stats
 
 
@@ -325,7 +354,9 @@ def eval_checkpoint_on_device(
     pbar.close()
     device_time = time.time() - start
 
-    stats_episodes = metrics_from_actions(config, episodes, action_seqs)
+    stats_episodes = metrics_from_actions(
+        config, episodes, action_seqs, writer=writer, checkpoint_index=checkpoint_index
+    )
     trainer._last_eval_episode_stats = stats_episodes
 
     aggregated: Dict[str, float] = {}
