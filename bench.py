@@ -193,6 +193,7 @@ def bench_closed_loop() -> None:
         carry = (
             jnp.asarray(arrays["pos"]),
             jnp.asarray(arrays["heading"]),
+            jnp.zeros((B,), jnp.float32),  # tilt
             policy.initial_rnn_states(B),
             jnp.zeros((B, 1), jnp.int32),
             jnp.zeros((B,), bool),

@@ -301,3 +301,54 @@ def test_scan_eval_renders_videos(tmp_path):
     assert stats is not None
     vids = os.listdir(f"{tmp}/videos")
     assert len(vids) >= 2, vids
+
+
+def test_render_tilt_parity():
+    """LOOK_UP/DOWN horizon shift matches the host renderer
+    (gridworld.py:400-402)."""
+    sim = _host_sim()
+    scene = get_scene("synth_scene_0")
+    specs = ds.camera_specs_from_config(_sim_config())
+    wall = jnp.asarray(scene.wall_colors)
+    floor = jnp.asarray(scene.floor_color)
+    ceil = jnp.asarray(scene.ceil_color)
+    occ = _occ()
+    pos = np.array([7.5, 0.0, 7.5])
+    sim.set_agent_state(pos, quat_from_heading(1.2))
+    # two LOOK_UPs then one LOOK_DOWN -> tilt = +tilt_angle
+    from vlnce_tpu.envs.sim import SimulatorActions
+
+    sim.step(SimulatorActions.LOOK_UP)
+    sim.step(SimulatorActions.LOOK_UP)
+    host_obs = sim.step(SimulatorActions.LOOK_DOWN)
+    tilt = sim._tilt
+    assert tilt > 0.0
+    for spec in specs:
+        dev = np.asarray(ds.render_camera(
+            occ, wall, floor, ceil,
+            jnp.asarray(pos, jnp.float32), jnp.asarray(1.2, jnp.float32), spec,
+            tilt=jnp.float32(tilt),
+        ))
+        host = np.asarray(host_obs[spec.uuid])
+        if spec.kind == "depth":
+            np.testing.assert_allclose(dev, host, atol=1e-3)
+        else:
+            diff = np.abs(dev.astype(int) - host.astype(int))
+            assert float((diff > 1).mean()) < 0.02
+
+
+def test_scan_eval_rxr_action_space(tmp_path):
+    """On-device scan eval runs the 6-action RxR space (LOOK_UP/DOWN as
+    tilt-only steps) end-to-end and writes stats for every episode."""
+    tmp = str(tmp_path)
+    cfg = get_config(opts=_eval_opts(tmp, extra=[
+        "TASK_CONFIG.TASK.POSSIBLE_ACTIONS",
+        "[STOP, MOVE_FORWARD, TURN_LEFT, TURN_RIGHT, LOOK_UP, LOOK_DOWN]",
+    ]))
+    trainer = registry.get_trainer("dagger")(cfg)
+    stats = trainer._eval_checkpoint(f"{tmp}/nonexistent.ckpt", _NullWriter(), 0)
+    assert stats is not None
+    assert len(trainer._last_eval_episode_stats) == 4
+    for ep_stats in trainer._last_eval_episode_stats.values():
+        for v in ep_stats.values():
+            assert np.isfinite(v)

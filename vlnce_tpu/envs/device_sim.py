@@ -20,7 +20,7 @@ Parity contract (tested in tests/test_device_sim.py):
 from __future__ import annotations
 
 import math
-from typing import Dict, List, NamedTuple, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -201,6 +201,17 @@ def step_discrete(
         jnp.where(action == 3, (heading - turn_angle) % two_pi, heading),
     )
     return new_pos, new_heading
+
+
+def step_tilt(tilt: jnp.ndarray, action: jnp.ndarray, tilt_angle: float) -> jnp.ndarray:
+    """LOOK_UP/LOOK_DOWN camera pitch, clamped to ±60° — the RxR action
+    space's extra axis (gridworld.py:189-192). Pose is unaffected."""
+    third_pi = math.pi / 3
+    return jnp.where(
+        action == 4,
+        jnp.minimum(tilt + tilt_angle, third_pi),
+        jnp.where(action == 5, jnp.maximum(tilt - tilt_angle, -third_pi), tilt),
+    )
 
 
 def geodesic_at(goal_field: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
@@ -428,6 +439,7 @@ def render_camera_group(
     heading: jnp.ndarray,
     orientations: Tuple[float, ...],
     spec: CameraSpec,
+    tilt: jnp.ndarray | float = 0.0,
 ) -> jnp.ndarray:
     """K same-spec cameras (e.g. a 12-pano rig) in ONE raycast; port of
     GridWorldSim._render_cameras/_shade (gridworld.py:375-428) in float32.
@@ -449,7 +461,12 @@ def render_camera_group(
 
     perp = t * jnp.cos(jnp.arctan(xs))[None, :]  # [K, W]
     focal = (w / 2.0) / math.tan(half_fov)
-    horizon = h / 2.0  # tilt not modeled (no LOOK_UP/DOWN in the R2R space)
+    # LOOK_UP/DOWN shifts the horizon row (gridworld.py:400-402); a static
+    # zero tilt (R2R's 4-action space) compiles the shift away entirely
+    if isinstance(tilt, (int, float)) and float(tilt) == 0.0:
+        horizon = h / 2.0
+    else:
+        horizon = h / 2.0 + jnp.tan(jnp.asarray(tilt, jnp.float32)) * focal
     safe_perp = jnp.maximum(perp, 1e-6)
     top = horizon - focal * (_WALL_HEIGHT - _EYE) / safe_perp  # [K, W]
     bot = horizon + focal * _EYE / safe_perp
@@ -491,11 +508,12 @@ def render_camera(
     pos: jnp.ndarray,
     heading: jnp.ndarray,
     spec: CameraSpec,
+    tilt: jnp.ndarray | float = 0.0,
 ) -> jnp.ndarray:
     """One frame for one camera (single-orientation group)."""
     return render_camera_group(
         scene_occ, wall_colors, floor_color, ceil_color, pos, heading,
-        (spec.orientation_y,), spec,
+        (spec.orientation_y,), spec, tilt=tilt,
     )[0]
 
 
@@ -507,6 +525,7 @@ def render_arrays(
     pos: jnp.ndarray,
     heading: jnp.ndarray,
     specs: Sequence[CameraSpec],
+    tilt: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """All cameras for all envs: obs dict of [B, H, W, C] arrays.
 
@@ -520,12 +539,20 @@ def render_arrays(
     obs = {}
     for key, members in groups.items():
         orientations = tuple(m.orientation_y for m in members)
-        fn = lambda o, wc, fc, cc, p, hd: render_camera_group(
-            o, wc, fc, cc, p, hd, orientations, members[0]
-        )
-        frames = jax.vmap(fn)(
-            occupancy, wall_colors, floor_color, ceil_color, pos, heading
-        )  # [B, K, H, W, C]
+        if tilt is None:
+            fn = lambda o, wc, fc, cc, p, hd: render_camera_group(
+                o, wc, fc, cc, p, hd, orientations, members[0]
+            )
+            frames = jax.vmap(fn)(
+                occupancy, wall_colors, floor_color, ceil_color, pos, heading
+            )  # [B, K, H, W, C]
+        else:
+            fn = lambda o, wc, fc, cc, p, hd, tl: render_camera_group(
+                o, wc, fc, cc, p, hd, orientations, members[0], tilt=tl
+            )
+            frames = jax.vmap(fn)(
+                occupancy, wall_colors, floor_color, ceil_color, pos, heading, tilt
+            )
         for k, m in enumerate(members):
             obs[m.uuid] = frames[:, k]
     return obs
@@ -536,10 +563,11 @@ def render_batch(
     pos: jnp.ndarray,
     heading: jnp.ndarray,
     specs: Sequence[CameraSpec],
+    tilt: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     return render_arrays(
         scenes.occupancy, scenes.wall_colors, scenes.floor_color,
-        scenes.ceil_color, pos, heading, specs,
+        scenes.ceil_color, pos, heading, specs, tilt=tilt,
     )
 
 

@@ -37,6 +37,7 @@ from vlnce_tpu.envs.device_sim import (
     progress_batch,
     render_batch,
     step_batch,
+    step_tilt,
 )
 from vlnce_tpu.ops.obs_transforms import apply_obs_transforms_batch
 from vlnce_tpu.tasks.datasets import make_dataset
@@ -44,7 +45,8 @@ from vlnce_tpu.tasks.geometry import heading_from_quaternion
 from vlnce_tpu.tasks.sensors import MAX_INSTRUCTION_LEN
 from vlnce_tpu.utils.logging import logger
 
-_EXPECTED_ACTIONS = ["STOP", "MOVE_FORWARD", "TURN_LEFT", "TURN_RIGHT"]
+_R2R_ACTIONS = ["STOP", "MOVE_FORWARD", "TURN_LEFT", "TURN_RIGHT"]
+_RXR_ACTIONS = _R2R_ACTIONS + ["LOOK_UP", "LOOK_DOWN"]
 
 
 def _check_supported(config) -> None:
@@ -57,39 +59,61 @@ def _check_supported(config) -> None:
             f"eval loop instead."
         )
     actions = list(config.TASK_CONFIG.TASK.POSSIBLE_ACTIONS)
-    if actions != _EXPECTED_ACTIONS:
+    if actions not in (_R2R_ACTIONS, _RXR_ACTIONS):
         raise ValueError(
             f"EVAL.ON_DEVICE_SCAN supports the discrete R2R action space "
-            f"{_EXPECTED_ACTIONS}, got {actions}"
+            f"{_R2R_ACTIONS} or the RxR space {_RXR_ACTIONS}, got {actions}"
         )
 
 
-def _episode_batch_arrays(episodes) -> Dict[str, np.ndarray]:
-    instr = np.zeros((len(episodes), MAX_INSTRUCTION_LEN), np.int32)
+def _episode_batch_arrays(
+    episodes, instr_uuid: str = "instruction", task_cfg=None
+) -> Dict[str, np.ndarray]:
+    """Start poses + the policy's instruction input per episode. R2R models
+    consume zero-padded token ids; RxR models (sensor_uuid
+    "rxr_instruction") consume the precomputed BERT features, loaded by the
+    same sensor code as the host path (tasks/sensors.py RxRInstructionSensor)."""
     pos = np.zeros((len(episodes), 3), np.float32)
     heading = np.zeros((len(episodes),), np.float32)
     for i, ep in enumerate(episodes):
-        tokens = ep.instruction.instruction_tokens or []
-        n = min(len(tokens), MAX_INSTRUCTION_LEN)
-        instr[i, :n] = np.asarray(tokens[:n], np.int32)
         pos[i] = np.asarray(ep.start_position, np.float32)
         heading[i] = heading_from_quaternion(np.asarray(ep.start_rotation, np.float64))
+
+    if instr_uuid == "instruction":
+        instr = np.zeros((len(episodes), MAX_INSTRUCTION_LEN), np.int32)
+        for i, ep in enumerate(episodes):
+            tokens = ep.instruction.instruction_tokens or []
+            n = min(len(tokens), MAX_INSTRUCTION_LEN)
+            instr[i, :n] = np.asarray(tokens[:n], np.int32)
+    else:
+        from vlnce_tpu.tasks.sensors import RxRInstructionSensor
+
+        sensor = RxRInstructionSensor(config=task_cfg.TASK.RXR_INSTRUCTION_SENSOR)
+        instr = np.stack([sensor.get_observation(episode=ep) for ep in episodes])
     return {"instruction": instr, "pos": pos, "heading": heading}
 
 
-def _build_segment_fn(policy, transforms, specs, sim_cfg, deterministic: bool, seg_len: int):
-    """Jitted closed-loop segment: `seg_len` env steps as ONE dispatch."""
+def _build_segment_fn(
+    policy, transforms, specs, sim_cfg, deterministic: bool, seg_len: int,
+    instr_uuid: str = "instruction", use_tilt: bool = False,
+):
+    """Jitted closed-loop segment: `seg_len` env steps as ONE dispatch.
+    `use_tilt` enables the RxR LOOK_UP/DOWN axis; with it off the tilt carry
+    slot stays inert and the renderer compiles the horizon shift away."""
     forward_step = float(sim_cfg.FORWARD_STEP_SIZE)
     turn_angle = math.radians(float(sim_cfg.TURN_ANGLE))
+    tilt_angle = math.radians(float(getattr(sim_cfg, "TILT_ANGLE", sim_cfg.TURN_ANGLE)))
     allow_sliding = bool(sim_cfg.HABITAT_SIM_V0.ALLOW_SLIDING)
 
     def segment(params, scenes: SceneBatch, instruction, carry, rng):
-        pos, heading, rnn, prev_actions, done, t0 = carry
+        pos, heading, tilt, rnn, prev_actions, done, t0 = carry
 
         def body(c, i):
-            pos, heading, rnn, prev_a, done = c
-            obs = render_batch(scenes, pos, heading, specs)
-            obs["instruction"] = instruction
+            pos, heading, tilt, rnn, prev_a, done = c
+            obs = render_batch(
+                scenes, pos, heading, specs, tilt=tilt if use_tilt else None
+            )
+            obs[instr_uuid] = instruction
             obs["progress"] = progress_batch(scenes, pos)
             batch = apply_obs_transforms_batch(obs, transforms)
             g = t0 + i
@@ -102,14 +126,16 @@ def _build_segment_fn(policy, transforms, specs, sim_cfg, deterministic: bool, s
             pos2, heading2 = step_batch(
                 scenes, pos, heading, a, forward_step, turn_angle, allow_sliding
             )
+            tilt2 = step_tilt(tilt, a, tilt_angle) if use_tilt else tilt
             pos2 = jnp.where(done[:, None], pos, pos2)
             heading2 = jnp.where(done, heading, heading2)
-            return (pos2, heading2, rnn2, action.astype(jnp.int32), new_done), a
+            tilt2 = jnp.where(done, tilt, tilt2)
+            return (pos2, heading2, tilt2, rnn2, action.astype(jnp.int32), new_done), a
 
-        (pos, heading, rnn, prev_actions, done), actions = jax.lax.scan(
-            body, (pos, heading, rnn, prev_actions, done), jnp.arange(seg_len)
+        (pos, heading, tilt, rnn, prev_actions, done), actions = jax.lax.scan(
+            body, (pos, heading, tilt, rnn, prev_actions, done), jnp.arange(seg_len)
         )
-        return (pos, heading, rnn, prev_actions, done, t0 + seg_len), actions
+        return (pos, heading, tilt, rnn, prev_actions, done, t0 + seg_len), actions
 
     return jax.jit(segment, static_argnames=())
 
@@ -130,9 +156,12 @@ def run_scan_rollouts(
     B = max(1, int(config.EVAL.SCAN_BATCH))
     seg_len = max(1, min(int(config.EVAL.SCAN_SEGMENT), T_max))
     deterministic = not bool(config.EVAL.SAMPLE)
+    instr_uuid = str(getattr(config.MODEL.INSTRUCTION_ENCODER, "sensor_uuid", "instruction"))
 
     segment_fn = _build_segment_fn(
-        policy, transforms, specs, task_cfg.SIMULATOR, deterministic, seg_len
+        policy, transforms, specs, task_cfg.SIMULATOR, deterministic, seg_len,
+        instr_uuid=instr_uuid,
+        use_tilt="LOOK_UP" in list(task_cfg.TASK.POSSIBLE_ACTIONS),
     )
 
     all_actions: List[np.ndarray] = []
@@ -142,10 +171,11 @@ def run_scan_rollouts(
         # pad the final chunk so the compiled program shape is reused
         chunk = chunk + [chunk[-1]] * (B - real)
         scenes = build_scene_batch(chunk)
-        arrays = _episode_batch_arrays(chunk)
+        arrays = _episode_batch_arrays(chunk, instr_uuid=instr_uuid, task_cfg=task_cfg)
         carry = (
             jnp.asarray(arrays["pos"]),
             jnp.asarray(arrays["heading"]),
+            jnp.zeros((B,), jnp.float32),  # tilt
             policy.initial_rnn_states(B),
             jnp.zeros((B, 1), jnp.int32),
             jnp.zeros((B,), bool),
@@ -159,7 +189,7 @@ def run_scan_rollouts(
             carry, actions = segment_fn(policy.params, scenes, instruction, carry, chunk_rng)
             collected.append(np.asarray(actions))  # [seg_len, B]
             t += seg_len
-            if bool(np.asarray(carry[4]).all()):
+            if bool(np.asarray(carry[5]).all()):  # done flags
                 break  # every episode in the chunk has called STOP
         acts = np.concatenate(collected, axis=0)[:T_max]  # [<=T_max, B]
         for i in range(real):
