@@ -352,3 +352,25 @@ def test_scan_eval_rxr_action_space(tmp_path):
     for ep_stats in trainer._last_eval_episode_stats.values():
         for v in ep_stats.values():
             assert np.isfinite(v)
+
+
+def test_scan_eval_sharded_matches_single(tmp_path):
+    """Scan-eval pjit'd over the data mesh (SCAN_BATCH 4 -> 4-way on the
+    8-device CPU mesh) produces the same per-episode stats as the forced
+    single-device run."""
+    stats = {}
+    for data_axis, tag in ((1, "single"), (-1, "sharded")):
+        tmp = str(tmp_path / tag)
+        cfg = get_config(opts=_eval_opts(tmp, extra=[
+            "EVAL.SCAN_BATCH", 4,
+            "TPU.MESH.DATA", data_axis,
+        ]))
+        trainer = registry.get_trainer("dagger")(cfg)
+        trainer._eval_checkpoint(f"{tmp}/nonexistent.ckpt", _NullWriter(), 0)
+        stats[tag] = trainer._last_eval_episode_stats
+    assert stats["single"].keys() == stats["sharded"].keys()
+    for ep_id in stats["single"]:
+        for k, v in stats["single"][ep_id].items():
+            np.testing.assert_allclose(
+                v, stats["sharded"][ep_id][k], atol=1e-5, err_msg=f"{ep_id}/{k}"
+            )

@@ -96,6 +96,7 @@ def _episode_batch_arrays(
 def _build_segment_fn(
     policy, transforms, specs, sim_cfg, deterministic: bool, seg_len: int,
     instr_uuid: str = "instruction", use_tilt: bool = False,
+    batch_size: int = 0,
 ):
     """Jitted closed-loop segment: `seg_len` env steps as ONE dispatch.
     `use_tilt` enables the RxR LOOK_UP/DOWN axis; with it off the tilt carry
@@ -137,7 +138,49 @@ def _build_segment_fn(
         )
         return (pos, heading, tilt, rnn, prev_actions, done, t0 + seg_len), actions
 
-    return jax.jit(segment, static_argnames=())
+    mesh = _eval_mesh(policy, batch_size)
+    if mesh is None:
+        return jax.jit(segment, static_argnames=())
+
+    # pjit over the data mesh: episodes are independent, so the whole scan
+    # shards over the env axis (the scene tensors too — every SceneBatch
+    # leaf is [B, ...]); eval throughput scales linearly with chips
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vlnce_tpu.parallel.mesh import DATA_AXIS
+
+    repl = NamedSharding(mesh, P())
+    env0 = NamedSharding(mesh, P(DATA_AXIS))
+    scenes_s = SceneBatch(*(env0 for _ in SceneBatch._fields))
+    carry_s = (env0, env0, env0, env0, env0, env0, repl)  # t0 replicated
+    return jax.jit(segment, in_shardings=(repl, scenes_s, env0, carry_s, repl))
+
+
+def _eval_mesh(policy, batch_size: int):
+    """Data mesh for sharded scan-eval, or None. Resolved from the policy's
+    config (TPU.MESH.DATA); like the rollout collector, an auto mesh that
+    SCAN_BATCH doesn't divide shrinks to the largest divisor."""
+    if batch_size <= 0:
+        return None
+    cfg = getattr(policy, "config", None)
+    if cfg is None or not hasattr(cfg, "TPU"):
+        return None
+    from vlnce_tpu.parallel.mesh import DATA_AXIS, make_mesh, resolve_training_mesh
+
+    mesh = resolve_training_mesh(cfg)
+    if mesh is None:
+        return None
+    n_data = mesh.shape[DATA_AXIS]
+    if batch_size % n_data == 0:
+        return mesh
+    g = math.gcd(batch_size, n_data)
+    if g <= 1:
+        return None
+    logger.warning(
+        f"scan-eval: SCAN_BATCH={batch_size} doesn't divide the {n_data}-way "
+        f"data mesh; using a {g}-way mesh"
+    )
+    return make_mesh(num_devices=g)
 
 
 def run_scan_rollouts(
@@ -162,6 +205,7 @@ def run_scan_rollouts(
         policy, transforms, specs, task_cfg.SIMULATOR, deterministic, seg_len,
         instr_uuid=instr_uuid,
         use_tilt="LOOK_UP" in list(task_cfg.TASK.POSSIBLE_ACTIONS),
+        batch_size=B,
     )
 
     all_actions: List[np.ndarray] = []
