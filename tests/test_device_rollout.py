@@ -256,6 +256,11 @@ def test_collect_device_batch(tmp_path):
     stats = {"count": np.zeros((N, 1), np.float32), "reward": np.zeros((N, 1), np.float32)}
     batch, n = collector.collect_device(cer, stats, jax.random.PRNGKey(0))
     assert n == T * N
+    # episode stats must be NaN-free even though queued scenes hold inf
+    # distance fields at cells navigable in OTHER scenes (the _select_axis1
+    # inf-poisoning regression)
+    for k, v in stats.items():
+        assert np.isfinite(v).all(), k
     assert batch["value_preds"].shape == (T, N, 1)
     assert batch["obs"]["rgb"].shape[:2] == (T, N)
     for key in ("returns", "advantages", "old_log_probs", "rewards"):

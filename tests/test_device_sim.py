@@ -274,11 +274,14 @@ def test_select_axis1_matches_gather():
     rng = np.random.RandomState(3)
     b, q = 6, 17
     idx = jnp.asarray(rng.randint(0, q, (b,)).astype(np.int32))
+    f32_inf = rng.randn(b, q, 5).astype(np.float32)
+    f32_inf[rng.rand(b, q, 5) > 0.7] = np.inf  # goal fields hold inf at walls
     arrs = {
         "bool": rng.rand(b, q, 4, 4) > 0.5,
         "uint8": rng.randint(0, 256, (b, q, 3, 2, 3)).astype(np.uint8),
         "int32": rng.randint(-50, 50, (b, q, 8)).astype(np.int32),
         "f32": rng.randn(b, q, 5).astype(np.float32),
+        "f32_inf": f32_inf,
     }
     for name, a in arrs.items():
         got = _select_axis1(jnp.asarray(a), idx)

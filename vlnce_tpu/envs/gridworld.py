@@ -168,6 +168,7 @@ class GridWorldSim(Simulator):
         if self._scene is None:
             self.reconfigure("default")
         self.previous_step_collided = False
+        self._tilt = 0.0  # camera pitch is per-episode state (LOOK_UP/DOWN)
         return self.get_observations_at()
 
     def seed(self, seed: int) -> None:

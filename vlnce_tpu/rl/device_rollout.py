@@ -115,7 +115,12 @@ def _select_axis1(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     s = sel.reshape(sel.shape + (1,) * (arr.ndim - 2))
     if arr.dtype == jnp.bool_:
         return jnp.any(arr & s, axis=1)
-    return jnp.sum(arr * s.astype(arr.dtype), axis=1, dtype=arr.dtype)
+    # where-select, not multiply: the goal_field holds inf at unreachable
+    # cells and inf * 0 would poison the sum with NaN (same hazard as
+    # device_sim._grid_lookup's float path)
+    return jnp.sum(
+        jnp.where(s, arr, jnp.zeros((), arr.dtype)), axis=1, dtype=arr.dtype
+    )
 
 
 def _gather_slot(queue: EpisodeQueue, ep_idx: jnp.ndarray) -> EpisodeQueue:
