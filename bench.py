@@ -222,6 +222,73 @@ def bench_closed_loop() -> None:
     )
 
 
+def bench_dagger_collect() -> None:
+    """On-device DAgger collection throughput: the production
+    collect_episodes_on_device scan (render + frozen-feature CMA act +
+    device expert + beta-mix + step) at production shapes."""
+    import jax
+
+    from vlnce_tpu.config import get_config
+    from vlnce_tpu.models.cma_policy import CMAPolicy
+    from vlnce_tpu.ops.obs_transforms import get_active_obs_transforms
+    from vlnce_tpu.tasks.datasets import make_dataset
+    from vlnce_tpu.trainers.device_dagger import collect_episodes_on_device
+
+    from gymnasium import spaces as gspaces
+
+    N_EPS = 2 * B
+    cfg = get_config(
+        opts=[
+            "BASE_TASK_CONFIG_PATH", "vlnce_tpu/tasks/config/vlnce_task.yaml",
+            "TASK_CONFIG.DATASET.TYPE", "Synthetic-VLN-v0",
+            "TASK_CONFIG.DATASET.NUM_EPISODES", N_EPS,
+            "NUM_ENVIRONMENTS", B,
+            "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", False,
+            "MODEL.INSTRUCTION_ENCODER.bidirectional", True,
+        ]
+    )
+    episodes = list(make_dataset("Synthetic-VLN-v0", cfg.TASK_CONFIG.DATASET).episodes)[:N_EPS]
+    space = gspaces.Dict(
+        {
+            "rgb": gspaces.Box(0, 255, (RGB_HW, RGB_HW, 3), np.uint8),
+            "depth": gspaces.Box(0, 1, (DEPTH_HW, DEPTH_HW, 1), np.float32),
+            "instruction": gspaces.Box(0, 10000, (200,), np.int32),
+            "progress": gspaces.Box(0, 1, (1,), np.float32),
+        }
+    )
+    policy = CMAPolicy.from_config(cfg, space, gspaces.Discrete(4))
+    policy.init_params(jax.random.PRNGKey(0), batch_size=B)
+    transforms = get_active_obs_transforms(cfg)
+
+    def run(n_eps: int) -> float:
+        t0 = time.perf_counter()
+        res = collect_episodes_on_device(
+            policy, transforms, cfg, episodes[:n_eps], 1.0, jax.random.PRNGKey(3)
+        )
+        steps = sum(len(r[1]) for r in res)
+        return time.perf_counter() - t0, steps
+
+    run(B)  # compile
+    t_s, _ = run(B)
+    t_l, steps_l = run(2 * B)
+    per_chunk = t_l - t_s  # marginal chunk (compile + first-chunk cached)
+    # steps in the marginal chunk = second chunk's recorded steps
+    _, steps_s = run(B)
+    steps = steps_l - steps_s
+    sps = steps / max(per_chunk, 1e-9)
+    print(
+        json.dumps(
+            {
+                "metric": "on_device_dagger_collect_env_steps_per_sec_per_chip",
+                "value": round(sps, 2),
+                "unit": "env-steps/s",
+                "note": "render + frozen-feature CMA act + device expert + beta-mix + step (TPU.ON_DEVICE_DAGGER)",
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
 def bench_rl_rollout() -> None:
     """On-device DD-PPO rollout collection throughput: the production
     DeviceRolloutCollector scan (12-pano render + waypoint policy act +
@@ -375,6 +442,9 @@ def main() -> None:
         return
     if "--rl-rollout" in sys.argv:
         bench_rl_rollout()
+        return
+    if "--dagger-collect" in sys.argv:
+        bench_dagger_collect()
         return
     tpu_sps = bench_tpu()
     if "--scan" in sys.argv:

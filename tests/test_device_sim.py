@@ -377,3 +377,49 @@ def test_scan_eval_sharded_matches_single(tmp_path):
             np.testing.assert_allclose(
                 v, stats["sharded"][ep_id][k], atol=1e-5, err_msg=f"{ep_id}/{k}"
             )
+
+
+def test_expert_action_matches_host_sensor():
+    """Device expert == host ShortestPathSensor over random navigable states
+    (boundary-coincident states aside, which are measure-zero in f64 vs f32)."""
+    from vlnce_tpu.tasks.sensors import ShortestPathSensor
+
+    sim = _host_sim()
+    scene = get_scene("synth_scene_0")
+    occ = _occ()
+    cfg = _sim_config()
+
+    class _SensorCfg:
+        GOAL_RADIUS = 0.5
+        USE_ORIGINAL_FOLLOWER = False
+
+    sensor = ShortestPathSensor(sim=sim, config=_SensorCfg())
+
+    class Goal:
+        position = [13.5, 0.0, 13.5]
+
+    class Ep:
+        goals = [Goal()]
+
+    gi, gj = scene.world_to_cell(13.5, 13.5)
+    field = jnp.asarray(scene.distance_field((gi, gj)))
+    goal_xz = jnp.asarray([13.5, 13.5], jnp.float32)
+    turn_angle = math.radians(float(cfg.TURN_ANGLE))
+
+    rng = np.random.RandomState(11)
+    checked = mismatches = 0
+    while checked < 300:
+        pos = np.array([rng.uniform(0.5, 15.5), 0.0, rng.uniform(0.5, 15.5)])
+        if not sim.is_navigable(pos):
+            continue
+        heading = rng.uniform(0, 2 * math.pi)
+        sim.set_agent_state(pos, quat_from_heading(heading))
+        host = int(sensor.get_observation(episode=Ep())[0])
+        dev = int(ds.expert_action(
+            occ, field, goal_xz,
+            jnp.asarray(pos, jnp.float32), jnp.asarray(heading, jnp.float32),
+            0.5, turn_angle,
+        ))
+        mismatches += int(host != dev)
+        checked += 1
+    assert mismatches <= 3, f"{mismatches}/{checked} expert actions differ"

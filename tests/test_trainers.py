@@ -268,3 +268,49 @@ def test_inference_on_device_scan_matches_format(tmp_path):
             assert "position" in s and "heading" in s and "stop" in s
         assert not steps[0]["stop"]
         assert steps[-1]["stop"] or len(steps) - 1 >= max_steps
+
+
+def test_on_device_dagger_matches_host_store(tmp_path):
+    """TPU.ON_DEVICE_DAGGER collects the same teacher-forcing trajectories
+    as the host env-pool loop: identical store schema (keys/shapes/dtypes)
+    and, at beta=1, identical expert action sequences per episode."""
+    from vlnce_tpu.data.trajectory_store import TrajectoryStoreReader, store_length
+
+    stores = {}
+    for tag, extra in (
+        ("host", []),
+        ("device", ["TPU.ON_DEVICE_DAGGER", True]),
+    ):
+        tmp = str(tmp_path / tag)
+        cfg = get_config(opts=base_opts(tmp, [
+            "TASK_CONFIG.DATASET.NUM_EPISODES", 4,
+            "IL.DAGGER.update_size", 4,
+            "IL.DAGGER.lmdb_features_dir", f"{tmp}/traj",
+        ] + extra))
+        trainer = registry.get_trainer("dagger")(cfg)
+        trainer.train()
+        n = store_length(f"{tmp}/traj")
+        reader = TrajectoryStoreReader(f"{tmp}/traj")
+        stores[tag] = [reader.get(i) for i in range(n)]
+        reader.close()
+        assert os.path.exists(f"{tmp}/ckpts/ckpt.0.ckpt")
+
+    assert len(stores["host"]) == len(stores["device"]) == 4
+    host_keys = set(stores["host"][0][0].keys())
+    dev_keys = set(stores["device"][0][0].keys())
+    assert host_keys == dev_keys, (host_keys, dev_keys)
+
+    def sig(entry):
+        obs, prev, oracle = entry
+        return tuple(oracle.tolist())
+
+    host_sigs = sorted(sig(e) for e in stores["host"])
+    dev_sigs = sorted(sig(e) for e in stores["device"])
+    assert host_sigs == dev_sigs
+    # prev_actions = oracle shifted by one at beta=1
+    for obs, prev, oracle in stores["device"]:
+        assert prev[0] == 0
+        np.testing.assert_array_equal(prev[1:], oracle[:-1])
+        for k in host_keys:
+            assert obs[k].shape[0] == len(oracle), k
+            assert obs[k].dtype == stores["host"][0][0][k].dtype, k

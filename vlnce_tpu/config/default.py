@@ -92,6 +92,11 @@ _C.TPU.PIPELINED_COLLECTION = False
 # reward -> auto-reset), one dispatch per rollout instead of per env step.
 # GridWorldSim-v0 + VLNCEWaypointEnv only (vlnce_tpu/rl/device_rollout.py)
 _C.TPU.ON_DEVICE_ROLLOUT = False
+# DAgger collection as on-device scans: render + frozen-encoder features +
+# policy act + device expert + beta-mix + step in one dispatch per segment
+# (requires GridWorldSim-v0; trainers/device_dagger.py)
+_C.TPU.ON_DEVICE_DAGGER = False
+_C.TPU.DAGGER_SEGMENT = 32  # scan steps per dispatch in device collection
 # pad env batch to a fixed size so pause_at never retriggers compilation
 _C.TPU.PAD_ENV_BATCH = True
 # on-device rollouts: keep the whole episode split device-resident (one

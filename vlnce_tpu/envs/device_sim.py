@@ -103,14 +103,17 @@ def build_scene_batch(episodes) -> SceneBatch:
         s = np.asarray(ep.start_position, dtype=np.float64)
         si, sj = scene.world_to_cell(float(s[0]), float(s[-1]))
         d0s.append(max(float(field[si, sj]), 1e-6))
-    return SceneBatch(
-        occupancy=jnp.asarray(np.stack(occ)),
-        wall_colors=jnp.asarray(np.stack(colors)),
-        floor_color=jnp.asarray(np.stack(floor)),
-        ceil_color=jnp.asarray(np.stack(ceil)),
-        goal_field=jnp.asarray(np.stack(fields)),
-        d0=jnp.asarray(np.array(d0s, dtype=np.float32)),
-    )
+    # ONE device_put for the whole batch: per-field jnp.asarray would pay a
+    # full round trip each on remote-attached chips (PERFORMANCE.md rule:
+    # host-visible work crosses the boundary once, batched)
+    return jax.device_put(SceneBatch(
+        occupancy=np.stack(occ),
+        wall_colors=np.stack(colors),
+        floor_color=np.stack(floor),
+        ceil_color=np.stack(ceil),
+        goal_field=np.stack(fields),
+        d0=np.array(d0s, dtype=np.float32),
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -212,6 +215,76 @@ def step_tilt(tilt: jnp.ndarray, action: jnp.ndarray, tilt_angle: float) -> jnp.
         jnp.minimum(tilt + tilt_angle, third_pi),
         jnp.where(action == 5, jnp.maximum(tilt - tilt_angle, -third_pi), tilt),
     )
+
+
+def expert_action(
+    occupancy: jnp.ndarray,
+    field: jnp.ndarray,
+    goal_xz: jnp.ndarray,
+    pos: jnp.ndarray,
+    heading: jnp.ndarray,
+    goal_radius: float,
+    turn_angle: float,
+    max_descent: int = 8,
+) -> jnp.ndarray:
+    """The oracle/expert action on device — ShortestPathFollower.
+    get_next_action + the sensor's None->STOP mapping
+    (tasks/shortest_path_follower.py:40-76, tasks/sensors.py:176-180).
+
+    `field` is the distance field of THE FIRST goal (the sensor passes
+    episode.goals[0].position), not the min-over-goals progress field.
+    The polyline the host follower scans is a greedy descent over this field
+    (gridworld.py:285-315); here the descent runs as a fixed-length scan
+    that tracks the first cell center farther than 0.5 * 0.25 m from the
+    agent, falling back to the goal position — the identical target
+    selection. Assumes the agent is on a navigable cell (the dynamics
+    guarantee it). Returns int32: 0 STOP, 1 FORWARD, 2 LEFT, 3 RIGHT.
+    """
+    ci, cj = _cell_index(pos[0], pos[2])
+    d_goal = _grid_lookup(field, ci, cj)
+    stop = (d_goal <= goal_radius) | ~jnp.isfinite(d_goal)
+
+    # neighbor order matches the host's row-major (di, dj) sweep with its
+    # first-strict-minimum tie-break (argmin is first-wins on ties)
+    dis = jnp.asarray([-1, -1, -1, 0, 0, 0, 1, 1, 1], jnp.int32)
+    djs = jnp.asarray([-1, 0, 1, -1, 0, 1, -1, 0, 1], jnp.int32)
+
+    def body(carry, _):
+        i, j, descending, found, tx, tz = carry
+        fij = _grid_lookup(field, i, j)
+        cont = descending & (fij > _RES)
+        ni, nj = i + dis, j + djs
+        inb = (ni >= 0) & (ni < _N) & (nj >= 0) & (nj < _N)
+        nav = ~(_grid_lookup(occupancy, jnp.clip(ni, 0, _N - 1), jnp.clip(nj, 0, _N - 1)) > 0.5)
+        vals = jnp.where(inb & nav, _grid_lookup(field, jnp.clip(ni, 0, _N - 1), jnp.clip(nj, 0, _N - 1)), jnp.inf)
+        k = jnp.argmin(vals)
+        improved = vals[k] < fij
+        step_ok = cont & improved
+        i2 = jnp.where(step_ok, ni[k], i)
+        j2 = jnp.where(step_ok, nj[k], j)
+        cx = (i2.astype(jnp.float32) + 0.5) * _RES
+        cz = (j2.astype(jnp.float32) + 0.5) * _RES
+        far = jnp.hypot(cx - pos[0], cz - pos[2]) > 0.5 * 0.25
+        newly = step_ok & far & ~found
+        tx2 = jnp.where(newly, cx, tx)
+        tz2 = jnp.where(newly, cz, tz)
+        found2 = found | newly
+        return (i2, j2, step_ok & ~found2, found2, tx2, tz2), ()
+
+    init = (ci, cj, ~stop, jnp.bool_(False), jnp.float32(0.0), jnp.float32(0.0))
+    (_, _, _, found, tx, tz), _ = jax.lax.scan(body, init, None, length=max_descent)
+    tx = jnp.where(found, tx, goal_xz[0])
+    tz = jnp.where(found, tz, goal_xz[1])
+
+    # steering (shortest_path_follower.py:60-72)
+    two_pi = 2.0 * math.pi
+    desired = jnp.arctan2(-(tx - pos[0]), -(tz - pos[2])) % two_pi
+    delta = (desired - heading + math.pi) % two_pi - math.pi
+    thr = turn_angle / 2.0 + 1e-6
+    steer = jnp.where(
+        jnp.abs(delta) <= thr, 1, jnp.where(delta > 0, 2, 3)
+    ).astype(jnp.int32)
+    return jnp.where(stop, 0, steer)
 
 
 def geodesic_at(goal_field: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:

@@ -98,7 +98,8 @@ def build_episode_queue(episodes_by_slot: List[List]) -> EpisodeQueue:
         entries = [_episode_entry(ep) for ep in slot_eps]
         for f in fields:
             stacked[f].append(np.stack([e[f] for e in entries]))
-    return EpisodeQueue(**{f: jnp.asarray(np.stack(stacked[f])) for f in fields})
+    # ONE device_put: per-field uploads pay a round trip each on remote chips
+    return jax.device_put(EpisodeQueue(**{f: np.stack(stacked[f]) for f in fields}))
 
 
 def _select_axis1(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

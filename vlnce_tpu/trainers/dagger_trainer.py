@@ -158,6 +158,10 @@ class DaggerTrainer(BaseVLNCETrainer):
     def _update_dataset(self, data_it: int) -> None:
         from vlnce_tpu.utils.profiling import SectionTimers
 
+        if bool(self.config.TPU.ON_DEVICE_DAGGER):
+            self._update_dataset_on_device(data_it)
+            return
+
         timers = SectionTimers()
         config = self.config
         envs = construct_envs(config, get_env_class(config.ENV_NAME))
@@ -331,3 +335,40 @@ class DaggerTrainer(BaseVLNCETrainer):
         pbar.close()
         envs.close()
         logger.info(f"[collection it {data_it}] {collected_eps} episodes, {timers.summary()}")
+
+    def _update_dataset_on_device(self, data_it: int) -> None:
+        """DAgger collection as on-device scans (TPU.ON_DEVICE_DAGGER):
+        render + frozen features + act + device expert + beta-mix + step all
+        in one dispatch per segment; only store payloads cross back. Episodes
+        are the first update_size of the split in dataset order (the host
+        pool's iterator restarts each collection round too)."""
+        import time as _time
+
+        import tqdm
+
+        from vlnce_tpu.tasks.datasets import make_dataset
+        from vlnce_tpu.trainers.device_dagger import collect_episodes_on_device
+
+        config = self.config
+        p = config.IL.DAGGER.p
+        beta = 0.0 if p == 0.0 else p**data_it
+        dataset = make_dataset(config.TASK_CONFIG.DATASET.TYPE, config.TASK_CONFIG.DATASET)
+        episodes = list(dataset.episodes)[: int(config.IL.DAGGER.update_size)]
+
+        writer = TrajectoryStoreWriter(self.features_dir, drop_existing=False)
+        pbar = tqdm.tqdm(total=len(episodes), dynamic_ncols=True)
+        t0 = _time.time()
+        results = collect_episodes_on_device(
+            self.policy, self.obs_transforms, config, episodes, beta,
+            self._next_rng(), progress_cb=pbar.update,
+        )
+        for payload in results:
+            writer.put(list(payload))
+        writer.commit()
+        writer.close()
+        pbar.close()
+        steps = sum(len(r[1]) for r in results)
+        logger.info(
+            f"[collection it {data_it}] {len(results)} episodes on device, "
+            f"{steps} steps in {_time.time() - t0:.1f}s"
+        )

@@ -1,0 +1,226 @@
+"""On-device DAgger collection: render + frozen-encoder features + policy
+act + device expert + beta-mix + sim step as one `lax.scan` per segment.
+
+The host collection loop (dagger_trainer.py:158-333) crosses the
+host<->device boundary every step and is bounded by the simulator pool.
+With the device-resident grid world and the device expert
+(envs/device_sim.py:expert_action — parity-tested against the host
+ShortestPathSensor) the WHOLE DAgger collection loop runs on device;
+only the cached encoder features (KBs/step) cross back, already in the
+exact store schema the trainer's TrajectoryStoreWriter expects
+(reference dagger_trainer.py:248-467: feature caching via forward hooks,
+msgpack'd (obs, prev_actions, oracle_actions) episodes).
+
+Enabled by `TPU.ON_DEVICE_DAGGER = True`; requires GridWorldSim-v0 and a
+token-instruction task (the R2R DAgger setting).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlnce_tpu.envs.device_sim import (
+    SceneBatch,
+    build_scene_batch,
+    camera_specs_from_config,
+    expert_action,
+    progress_batch,
+    render_batch,
+    step_batch,
+)
+from vlnce_tpu.envs.gridworld import get_scene
+from vlnce_tpu.ops.obs_transforms import apply_obs_transforms_batch
+from vlnce_tpu.trainers.scan_eval import _episode_batch_arrays
+from vlnce_tpu.utils.logging import logger
+
+
+# jitted segment cache: rebuilding the closure per collect() call would
+# retrace (and re-lookup the XLA cache) every DAgger iteration — measured
+# 13s per retrace on a remote chip
+_SEGMENT_CACHE: Dict[tuple, tuple] = {}
+
+
+def _expert_arrays(episodes) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-episode first-goal distance field + goal XZ — what the host
+    ShortestPathSensor steers by (it passes episode.goals[0].position)."""
+    fields, goals = [], []
+    for ep in episodes:
+        scene = get_scene(ep.scene_id)
+        g = np.asarray(ep.goals[0].position, np.float64)
+        gi, gj = scene.world_to_cell(float(g[0]), float(g[-1]))
+        fields.append(scene.distance_field((gi, gj)).astype(np.float32))
+        goals.append([float(g[0]), float(g[-1])])
+    return np.stack(fields), np.asarray(goals, np.float32)
+
+
+def collect_episodes_on_device(
+    policy, transforms, config, episodes: List, beta: float, rng,
+    progress_cb=None,
+) -> List[Tuple[Dict[str, np.ndarray], np.ndarray, np.ndarray]]:
+    """Collect `episodes` with the beta-mixed expert/policy driver, fully on
+    device. Returns writer-ready (traj_obs, prev_actions, oracle_actions)
+    triples in episode order — the same payload flush_episode builds in the
+    host loop (dagger_trainer.py:220-240)."""
+    task_cfg = config.TASK_CONFIG
+    specs = camera_specs_from_config(task_cfg.SIMULATOR)
+    T_max = int(task_cfg.ENVIRONMENT.MAX_EPISODE_STEPS)
+    B = max(1, int(config.NUM_ENVIRONMENTS))
+    forward_step = float(task_cfg.SIMULATOR.FORWARD_STEP_SIZE)
+    turn_angle = math.radians(float(task_cfg.SIMULATOR.TURN_ANGLE))
+    allow_sliding = bool(task_cfg.SIMULATOR.HABITAT_SIM_V0.ALLOW_SLIDING)
+    goal_radius = float(task_cfg.TASK.SHORTEST_PATH_SENSOR.GOAL_RADIUS)
+    store_f16 = bool(config.IL.DAGGER.lmdb_fp16)
+
+    # segment length: episodes finish in tens of steps; scanning the full
+    # MAX_EPISODE_STEPS cap per chunk would compute (and read back) hundreds
+    # of padded steps per env — the first cut of this path did exactly that
+    # and was readback-bound at 16 steps/s on a remote-attached chip
+    seg_len = max(1, min(int(getattr(config.TPU, "DAGGER_SEGMENT", 32)), T_max))
+    cache_key = (
+        id(policy), tuple(specs), B, seg_len, T_max, store_f16,
+        goal_radius, turn_angle, forward_step, allow_sliding,
+        tuple(type(t).__name__ for t in transforms),
+    )
+    feat_shapes: Dict[str, tuple] = {}  # filled at trace time
+
+    def segment(params, scenes: SceneBatch, expert_field, goal_xz, instruction, carry, rng_, beta_):
+        def body(c, t):
+            pos, heading, rnn, prev_a, done, g = c
+            obs = render_batch(scenes, pos, heading, specs)
+            obs["instruction"] = instruction
+            obs["progress"] = progress_batch(scenes, pos)
+            batch = apply_obs_transforms_batch(obs, transforms)
+            mask = jnp.where(g == 0, 0.0, 1.0) * jnp.ones((B, 1), jnp.float32)
+            rng_act, rng_mix = jax.random.split(jax.random.fold_in(rng_, g))
+            action, rnn2, feats = policy._act_features_impl(
+                params, batch, rnn, prev_a, mask, rng_act, False
+            )
+            expert = jax.vmap(
+                lambda o, f, g, p, h: expert_action(
+                    o, f, g, p, h, goal_radius, turn_angle
+                )
+            )(scenes.occupancy, expert_field, goal_xz, pos, heading)
+            mix = jax.random.uniform(rng_mix, action.shape)
+            mixed = jnp.where(mix < beta_, expert.reshape(action.shape), action)
+            a = jnp.where(done, 0, mixed.reshape(-1).astype(jnp.int32))
+            # features emitted flattened [B, F]: scan-stacking [B, C, 4, 4]
+            # would tile-pad the trailing dims 64x (same trap as the RL
+            # rollout's obs emit — PERFORMANCE.md); hosts reshape back
+            emit = {
+                "progress": obs["progress"],
+                "prev_action": prev_a.reshape(-1),
+                "oracle": expert.reshape(-1),
+                "done_before": done,
+            }
+            for k in ("rgb_features", "depth_features"):
+                v = feats.get(k)
+                if v is not None:
+                    feat_shapes[k] = tuple(v.shape[1:])
+                    emit[k] = v.reshape(B, -1)
+            new_done = done | (a == 0)
+            pos2, heading2 = step_batch(
+                scenes, pos, heading, a, forward_step, turn_angle, allow_sliding
+            )
+            pos2 = jnp.where(done[:, None], pos, pos2)
+            heading2 = jnp.where(done, heading, heading2)
+            return (
+                (pos2, heading2, rnn2, mixed.reshape(-1, 1).astype(jnp.int32), new_done, g + 1),
+                emit,
+            )
+
+        carry2, seq = jax.lax.scan(body, carry, jnp.arange(seg_len))
+        # wire dtype: bf16-sourced features cross the host boundary as f16 —
+        # exact for all in-range bf16 values (7 <= 10 mantissa bits; clamped
+        # against the f16 max) and half the transfer bytes
+        out = {}
+        for k, v in seq.items():
+            if v.dtype == jnp.bfloat16:
+                v = jnp.clip(v, -65504.0, 65504.0).astype(jnp.float16)
+            elif store_f16 and v.dtype == jnp.float32:
+                v = v.astype(jnp.float16)
+            out[k] = v
+        return carry2, out
+
+    if cache_key in _SEGMENT_CACHE:
+        segment_jit, feat_shapes = _SEGMENT_CACHE[cache_key]
+    else:
+        segment_jit = jax.jit(segment)
+        _SEGMENT_CACHE[cache_key] = (segment_jit, feat_shapes)
+
+    results: List[Tuple[Dict[str, np.ndarray], np.ndarray, np.ndarray]] = []
+    for lo in range(0, len(episodes), B):
+        chunk = episodes[lo : lo + B]
+        real = len(chunk)
+        chunk = chunk + [chunk[-1]] * (B - real)
+        ef, gxz = _expert_arrays(chunk)
+        arrays = _episode_batch_arrays(chunk)
+        rng, chunk_rng = jax.random.split(rng)
+        rnn0 = np.zeros(
+            (B, policy.num_recurrent_layers, policy.hidden_size), np.float32
+        )
+        # ONE device_put for all per-chunk host arrays (round trips add up
+        # on remote chips); build_scene_batch batches its own upload
+        ef_d, gxz_d, instr_d, carry = jax.device_put((
+            ef, gxz, arrays["instruction"],
+            (
+                arrays["pos"], arrays["heading"], rnn0,
+                np.zeros((B, 1), np.int32), np.zeros((B,), bool), np.int32(0),
+            ),
+        ))
+        scenes = build_scene_batch(chunk)
+        seg_args = (policy.params, scenes, ef_d, gxz_d, instr_d)
+        # segments until every episode stopped (or the step cap): only the
+        # done flags (tiny) come back per segment; the big feature tensors
+        # are trimmed to the used prefix on device before their readback
+        import os as _os, time as _t
+        _dbg = _os.environ.get("DAGGER_DEBUG_TIMING")
+        _t0 = _t.perf_counter()
+        pieces = []
+        t = 0
+        while t < T_max:
+            _t1 = _t.perf_counter()
+            carry, seg = segment_jit(*seg_args, carry, chunk_rng, jnp.float32(beta))
+            if _dbg: print(f"  dispatch {_t.perf_counter()-_t1:.2f}s", flush=True)
+            # ONE readback per segment: data + done state together (each
+            # extra device call pays a full round trip on remote chips)
+            seg_np, done_after = jax.device_get((seg, carry[4]))
+            t += seg_len
+            pieces.append(seg_np)
+            if bool(done_after.all()):
+                break
+        if _dbg: print(f"  loop total {_t.perf_counter()-_t0:.2f}s", flush=True)
+        _t2 = _t.perf_counter()
+        seq = {
+            k: np.concatenate([np.asarray(p[k]) for p in pieces], axis=0)[:T_max]
+            for k in pieces[0]
+        }
+
+        instr_np = arrays["instruction"]
+        done_before = np.asarray(seq["done_before"])  # [T, B]
+        for b in range(real):
+            ends = np.flatnonzero(done_before[:, b])
+            T_ep = int(ends[0]) if len(ends) else T_max
+            if T_ep == 0:
+                T_ep = 1  # degenerate: started at goal, single STOP step
+            traj_obs = {
+                "instruction": np.repeat(instr_np[b][None], T_ep, axis=0),
+                "progress": np.asarray(seq["progress"][:T_ep, b]),
+            }
+            for k in ("rgb_features", "depth_features"):
+                if k in seq:
+                    flat = np.asarray(seq[k][:T_ep, b])
+                    if not store_f16:  # f16 was only the wire dtype
+                        flat = flat.astype(np.float32)
+                    traj_obs[k] = flat.reshape((T_ep,) + feat_shapes[k])
+            prev = np.asarray(seq["prev_action"][:T_ep, b], dtype=np.int64)
+            oracle = np.asarray(seq["oracle"][:T_ep, b], dtype=np.int64)
+            results.append((traj_obs, prev, oracle))
+            if progress_cb is not None:
+                progress_cb()
+        if _dbg: print(f"  assembly {_t.perf_counter()-_t2:.2f}s", flush=True)
+    return results

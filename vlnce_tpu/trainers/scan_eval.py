@@ -214,18 +214,22 @@ def run_scan_rollouts(
         real = len(chunk)
         # pad the final chunk so the compiled program shape is reused
         chunk = chunk + [chunk[-1]] * (B - real)
-        scenes = build_scene_batch(chunk)
         arrays = _episode_batch_arrays(chunk, instr_uuid=instr_uuid, task_cfg=task_cfg)
-        carry = (
-            jnp.asarray(arrays["pos"]),
-            jnp.asarray(arrays["heading"]),
-            jnp.zeros((B,), jnp.float32),  # tilt
-            policy.initial_rnn_states(B),
-            jnp.zeros((B, 1), jnp.int32),
-            jnp.zeros((B,), bool),
-            jnp.int32(0),
+        rnn0 = np.zeros(
+            (B, policy.num_recurrent_layers, policy.hidden_size), np.float32
         )
-        instruction = jnp.asarray(arrays["instruction"])
+        # ONE device_put for the per-chunk host arrays — eager per-array
+        # uploads pay a full round trip each on remote-attached chips
+        instruction, carry = jax.device_put((
+            arrays["instruction"],
+            (
+                arrays["pos"], arrays["heading"],
+                np.zeros((B,), np.float32),  # tilt
+                rnn0, np.zeros((B, 1), np.int32), np.zeros((B,), bool),
+                np.int32(0),
+            ),
+        ))
+        scenes = build_scene_batch(chunk)
         rng, chunk_rng = jax.random.split(rng)
         collected = []
         t = 0
