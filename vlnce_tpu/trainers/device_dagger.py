@@ -174,17 +174,17 @@ def collect_episodes_on_device(
         ))
         scenes = build_scene_batch(chunk)
         seg_args = (policy.params, scenes, ef_d, gxz_d, instr_d)
-        # segments until every episode stopped (or the step cap): only the
-        # done flags (tiny) come back per segment; the big feature tensors
-        # are trimmed to the used prefix on device before their readback
+        # segments until every episode stopped (or the step cap)
         import os as _os, time as _t
         _dbg = _os.environ.get("DAGGER_DEBUG_TIMING")
         _t0 = _t.perf_counter()
         pieces = []
         t = 0
+        beta_np = np.float32(beta)  # numpy scalar: ships with the dispatch,
+        # no standalone eager upload (a round trip per call on remote chips)
         while t < T_max:
             _t1 = _t.perf_counter()
-            carry, seg = segment_jit(*seg_args, carry, chunk_rng, jnp.float32(beta))
+            carry, seg = segment_jit(*seg_args, carry, chunk_rng, beta_np)
             if _dbg: print(f"  dispatch {_t.perf_counter()-_t1:.2f}s", flush=True)
             # ONE readback per segment: data + done state together (each
             # extra device call pays a full round trip on remote chips)
