@@ -314,3 +314,61 @@ def test_on_device_dagger_matches_host_store(tmp_path):
         for k in host_keys:
             assert obs[k].shape[0] == len(oracle), k
             assert obs[k].dtype == stores["host"][0][0][k].dtype, k
+
+
+def _recollect_cfg(tmp, extra=None):
+    return get_config(opts=base_opts(tmp, [
+        "TASK_CONFIG.DATASET.NUM_EPISODES", 4,
+        "IL.RECOLLECT_TRAINER.trajectories_file", f"{tmp}/trajectories.json.gz",
+        "IL.RECOLLECT_TRAINER.gt_file", f"{tmp}/missing_gt.json.gz",
+        "IL.RECOLLECT_TRAINER.preload_size", 2,
+        "IL.batch_size", 2,
+        "IL.epochs", 1,
+    ] + (extra or [])))
+
+
+def test_recollect_trainer_end_to_end(tmp_path):
+    """Recollect trainer (RxR challenge baseline): GT derivation from the
+    oracle, live re-simulation, one training epoch, checkpoint written."""
+    tmp = str(tmp_path)
+    cfg = _recollect_cfg(tmp)
+    trainer = registry.get_trainer("recollect_trainer")(cfg)
+    trainer.train()
+    assert os.path.exists(f"{tmp}/ckpts/ckpt.0.ckpt")
+
+
+def test_recollect_on_device_matches_host_episodes(tmp_path):
+    """TPU.ON_DEVICE_RECOLLECT re-renders GT trajectories on device; the
+    yielded episodes match the env-pool re-simulation: identical GT action
+    sequences and weights, near-identical rendered observations."""
+    from vlnce_tpu.data.recollection import TeacherRecollectionDataset
+
+    tmp = str(tmp_path)
+    eps_by_sig = {}
+    for tag, extra in (("host", []), ("device", ["TPU.ON_DEVICE_RECOLLECT", True])):
+        cfg = _recollect_cfg(tmp, extra)
+        ds = TeacherRecollectionDataset(cfg)
+        it = ds.episodes()
+        collected = {}
+        for _ in range(ds.length):
+            obs, prev, oracle, w = next(it)
+            key = (tuple(oracle.tolist()), tuple(obs["instruction"][0].tolist()))
+            collected[key] = (obs, prev, w)
+        ds.close_sims()
+        eps_by_sig[tag] = collected
+
+    assert eps_by_sig["host"].keys() == eps_by_sig["device"].keys()
+    for sig in eps_by_sig["host"]:
+        h_obs, h_prev, h_w = eps_by_sig["host"][sig]
+        d_obs, d_prev, d_w = eps_by_sig["device"][sig]
+        np.testing.assert_array_equal(h_prev, d_prev)
+        np.testing.assert_allclose(h_w, d_w)
+        for k in ("rgb", "depth", "progress", "instruction"):
+            assert k in d_obs, k
+            assert d_obs[k].shape == h_obs[k].shape, k
+        # renderer parity: uint8 shading can differ by 1; a hairline of
+        # wall-edge pixels may flip
+        diff = np.abs(d_obs["rgb"].astype(int) - h_obs["rgb"].astype(int))
+        assert float((diff > 1).mean()) < 0.02
+        np.testing.assert_allclose(d_obs["depth"], h_obs["depth"], atol=1e-3)
+        np.testing.assert_allclose(d_obs["progress"], h_obs["progress"], atol=1e-4)

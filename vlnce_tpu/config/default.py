@@ -97,6 +97,9 @@ _C.TPU.ON_DEVICE_ROLLOUT = False
 # (requires GridWorldSim-v0; trainers/device_dagger.py)
 _C.TPU.ON_DEVICE_DAGGER = False
 _C.TPU.DAGGER_SEGMENT = 32  # scan steps per dispatch in device collection
+# recollection re-simulation as device render scans along GT actions — no
+# env pool (requires GridWorldSim-v0; trainers/device_recollect.py)
+_C.TPU.ON_DEVICE_RECOLLECT = False
 # pad env batch to a fixed size so pause_at never retriggers compilation
 _C.TPU.PAD_ENV_BATCH = True
 # on-device rollouts: keep the whole episode split device-resident (one

@@ -43,7 +43,11 @@ class TeacherRecollectionDataset:
                 self.trajectories = json.load(f)
         else:
             self.trajectories = self.collect_dataset()
-        self.initialize_sims()
+        self._on_device = bool(getattr(config.TPU, "ON_DEVICE_RECOLLECT", False))
+        if self._on_device:
+            self.initialize_device()
+        else:
+            self.initialize_sims()
 
     # -- GT collection -------------------------------------------------------
     def collect_dataset(self) -> Dict[str, List[List[int]]]:
@@ -137,6 +141,54 @@ class TeacherRecollectionDataset:
             path_step = self.trajectories[ep.episode_id][0]
             self._env_observations[i].append((observations[i], path_step[0], path_step[2]))
 
+    def initialize_device(self) -> None:
+        """Device-rendered recollection (TPU.ON_DEVICE_RECOLLECT): no env
+        pool — GT trajectories re-render as device scans
+        (trainers/device_recollect.py). A single probe env supplies the
+        spaces, then closes."""
+        from vlnce_tpu.tasks.datasets import make_dataset
+
+        config = self.config.clone().defrost()
+        config.TASK_CONFIG.TASK.MEASUREMENTS = []
+        config.freeze()
+        sim_type = config.TASK_CONFIG.SIMULATOR.TYPE
+        if sim_type != "GridWorldSim-v0":
+            raise ValueError(
+                f"TPU.ON_DEVICE_RECOLLECT requires SIMULATOR.TYPE="
+                f"GridWorldSim-v0 (got {sim_type!r})"
+            )
+        probe = get_env_class(config.ENV_NAME)(config.clone())
+        self.obs_transforms = get_active_obs_transforms(self.config)
+        self._observation_space = apply_obs_transforms_obs_space(
+            probe.observation_space, self.obs_transforms
+        )
+        self._action_space = probe.action_space
+        probe.close()
+
+        dataset = make_dataset(
+            config.TASK_CONFIG.DATASET.TYPE, config.TASK_CONFIG.DATASET
+        )
+        wanted = set(self.trajectories.keys())
+        self._device_episodes = [
+            ep for ep in dataset.episodes if ep.episode_id in wanted
+        ]
+        self.length = len(self._device_episodes)
+        mc = self.config.MODEL.INSTRUCTION_ENCODER
+        self._instr_uuid = str(getattr(mc, "sensor_uuid", "instruction"))
+
+    def _device_episode_iter(self) -> Iterator[Tuple]:
+        from vlnce_tpu.trainers.device_recollect import render_gt_episodes_on_device
+
+        B = max(1, int(self.config.NUM_ENVIRONMENTS))
+        order = list(self._device_episodes)
+        while True:
+            for lo in range(0, len(order), B):
+                chunk = order[lo : lo + B]
+                yield from render_gt_episodes_on_device(
+                    self.config, chunk, self.trajectories, self.coef,
+                    instr_uuid=self._instr_uuid,
+                )
+
     @property
     def batch_size(self) -> int:
         return self.config.IL.batch_size
@@ -147,10 +199,13 @@ class TeacherRecollectionDataset:
 
     @property
     def action_space(self):
+        if self.envs is None:
+            return self._action_space
         return self.envs.action_spaces[0]
 
     def close_sims(self) -> None:
-        self.envs.close()
+        if self.envs is not None:
+            self.envs.close()
         self.envs = None
         self._env_observations = None
 
@@ -192,6 +247,9 @@ class TeacherRecollectionDataset:
 
     def episodes(self) -> Iterator[Tuple]:
         """Infinite iterator of (obs_dict[T], prev[T], oracle[T], weights[T])."""
+        if self._on_device:
+            yield from self._device_episode_iter()
+            return
         while True:
             if not self._preload:
                 self._load_next_episodes()

@@ -102,7 +102,16 @@ def build_scene_batch(episodes) -> SceneBatch:
         fields.append(field.astype(np.float32))
         s = np.asarray(ep.start_position, dtype=np.float64)
         si, sj = scene.world_to_cell(float(s[0]), float(s[-1]))
-        d0s.append(max(float(field[si, sj]), 1e-6))
+        # d0 for the progress sensor comes from the episode ANNOTATION, not
+        # the sim geodesic — the host sensor reads
+        # episode.info["geodesic_distance"] (tasks/sensors.py:127, reference
+        # habitat_extensions/sensors.py:79-86); fall back to the field value
+        # for episodes without the annotation
+        info = getattr(ep, "info", None) or {}
+        d0 = float(info.get("geodesic_distance") or 0.0)
+        if d0 <= 0.0:
+            d0 = max(float(field[si, sj]), 1e-6)
+        d0s.append(d0)
     # ONE device_put for the whole batch: per-field jnp.asarray would pay a
     # full round trip each on remote-attached chips (PERFORMANCE.md rule:
     # host-visible work crosses the boundary once, batched)

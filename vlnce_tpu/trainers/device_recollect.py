@@ -1,0 +1,111 @@
+"""Device-rendered recollection: re-simulate GT trajectories on the chip.
+
+The recollect trainer re-simulates ground-truth action sequences through an
+env pool EVERY epoch to regenerate observations (reference
+common/recollection_dataset.py:167-228). With the device-resident grid
+world the GT actions are known up front, so the whole re-simulation is one
+render-and-step `lax.scan` per episode chunk — no env pool, no per-step
+host round trips. STOP-padded action tails are harmless (STOP never moves
+the agent) and each episode is sliced back to its true GT length.
+
+Enabled by `TPU.ON_DEVICE_RECOLLECT = True`; requires GridWorldSim-v0.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlnce_tpu.envs.device_sim import (
+    build_scene_batch,
+    progress_batch,
+    render_batch,
+    step_batch,
+    step_tilt,
+    camera_specs_from_config,
+)
+from vlnce_tpu.trainers.scan_eval import _episode_batch_arrays
+
+# jitted render-rollout cache across calls (a rebuilt jit closure retraces
+# at ~13s on remote chips even with a warm XLA cache — PERFORMANCE.md)
+_RENDER_CACHE: Dict[tuple, object] = {}
+
+
+def render_gt_episodes_on_device(
+    config, episodes: List, trajectories: Dict, coef: float,
+    instr_uuid: str = "instruction",
+) -> List[Tuple[Dict[str, np.ndarray], np.ndarray, np.ndarray, np.ndarray]]:
+    """One chunk of episodes -> the (obs[T], prev[T], oracle[T], weights[T])
+    tuples TeacherRecollectionDataset.episodes() yields, with observations
+    rendered on device along the GT action sequences."""
+    from vlnce_tpu.data.collate import inflection_weights
+
+    task_cfg = config.TASK_CONFIG
+    specs = camera_specs_from_config(task_cfg.SIMULATOR)
+    forward_step = float(task_cfg.SIMULATOR.FORWARD_STEP_SIZE)
+    turn_angle = math.radians(float(task_cfg.SIMULATOR.TURN_ANGLE))
+    tilt_angle = math.radians(
+        float(getattr(task_cfg.SIMULATOR, "TILT_ANGLE", task_cfg.SIMULATOR.TURN_ANGLE))
+    )
+    allow_sliding = bool(task_cfg.SIMULATOR.HABITAT_SIM_V0.ALLOW_SLIDING)
+    B = len(episodes)
+
+    trajs = [trajectories[ep.episode_id] for ep in episodes]
+    lens = [len(t) for t in trajs]
+    # bucket the padded length so the jitted rollout compiles once per
+    # bucket, not once per distinct max-length
+    T_pad = -(-max(lens) // 32) * 32
+    actions = np.zeros((T_pad, B), np.int32)  # STOP-padded tails
+    for b, traj in enumerate(trajs):
+        actions[: len(traj), b] = [step[1] for step in traj]
+
+    key = (tuple(specs), B, T_pad, forward_step, turn_angle, tilt_angle,
+           allow_sliding, instr_uuid)
+    if key not in _RENDER_CACHE:
+
+        def rollout(scenes, pos0, heading0, acts):
+            def body(c, a):
+                pos, heading, tilt = c
+                obs = render_batch(scenes, pos, heading, specs, tilt=tilt)
+                obs["progress"] = progress_batch(scenes, pos)
+                emit = {k: v.reshape((B, -1)) for k, v in obs.items()}
+                pos2, heading2 = step_batch(
+                    scenes, pos, heading, a, forward_step, turn_angle, allow_sliding
+                )
+                tilt2 = step_tilt(tilt, a, tilt_angle)
+                return (pos2, heading2, tilt2), emit
+
+            init = (pos0, heading0, jnp.zeros((B,), jnp.float32))
+            _, seq = jax.lax.scan(body, init, acts)
+            return seq
+
+        _RENDER_CACHE[key] = jax.jit(rollout)
+    rollout_jit = _RENDER_CACHE[key]
+
+    arrays = _episode_batch_arrays(episodes, instr_uuid=instr_uuid, task_cfg=task_cfg)
+    pos_d, heading_d, acts_d = jax.device_put(
+        (arrays["pos"], arrays["heading"], actions)
+    )
+    scenes = build_scene_batch(episodes)
+    seq = jax.device_get(rollout_jit(scenes, pos_d, heading_d, acts_d))
+
+    # recover per-sensor shapes from the camera specs / sensor dims
+    shapes: Dict[str, tuple] = {s.uuid: (s.height, s.width, 3 if s.kind == "rgb" else 1) for s in specs}
+    shapes["progress"] = (1,)
+
+    out = []
+    for b, (ep, traj) in enumerate(zip(episodes, trajs)):
+        T_ep = lens[b]
+        obs = {
+            k: np.asarray(v[:T_ep, b]).reshape((T_ep,) + shapes[k])
+            for k, v in seq.items()
+        }
+        obs[instr_uuid] = np.repeat(arrays["instruction"][b][None], T_ep, axis=0)
+        prev = np.asarray([s[0] for s in traj], np.int64)
+        oracle = np.asarray([s[2] for s in traj], np.int64)
+        out.append((obs, prev, oracle, inflection_weights(oracle, coef)))
+    return out
