@@ -289,6 +289,72 @@ def bench_dagger_collect() -> None:
     )
 
 
+def bench_recollect() -> None:
+    """Device-rendered recollection throughput: GT re-simulation as render
+    scans (TPU.ON_DEVICE_RECOLLECT) at production obs shapes."""
+    import jax
+
+    from vlnce_tpu.config import get_config
+    from vlnce_tpu.tasks.datasets import make_dataset
+    from vlnce_tpu.tasks.shortest_path_follower import ShortestPathFollower
+    from vlnce_tpu.envs.gridworld import GridWorldSim
+    from vlnce_tpu.envs.sim import SimulatorActions
+    from vlnce_tpu.trainers.device_recollect import render_gt_episodes_on_device
+
+    N_EPS = B
+    cfg = get_config(
+        opts=[
+            "BASE_TASK_CONFIG_PATH", "vlnce_tpu/tasks/config/vlnce_task.yaml",
+            "TASK_CONFIG.DATASET.TYPE", "Synthetic-VLN-v0",
+            "TASK_CONFIG.DATASET.NUM_EPISODES", N_EPS,
+            "NUM_ENVIRONMENTS", B,
+        ]
+    )
+    episodes = list(make_dataset("Synthetic-VLN-v0", cfg.TASK_CONFIG.DATASET).episodes)[:N_EPS]
+
+    # GT actions from the oracle on the host sim (one-time, not timed)
+    sim = GridWorldSim(cfg.TASK_CONFIG.SIMULATOR)
+    follower = ShortestPathFollower(sim, goal_radius=0.5, return_one_hot=False)
+    max_steps = int(cfg.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS)
+    trajectories = {}
+    for ep in episodes:
+        sim.reconfigure(ep.scene_id)
+        sim.reset()
+        sim.set_agent_state(ep.start_position, ep.start_rotation)
+        traj, prev = [], int(SimulatorActions.STOP)
+        for _ in range(max_steps):
+            a = follower.get_next_action(ep.goals[0].position)
+            a = int(SimulatorActions.STOP) if a is None else int(a)
+            traj.append([prev, a, a])
+            if a == 0:
+                break
+            sim.step(a)
+            prev = a
+        trajectories[ep.episode_id] = traj
+
+    def run():
+        t0 = time.perf_counter()
+        res = render_gt_episodes_on_device(cfg, episodes, trajectories, 1.0)
+        steps = sum(len(r[1]) for r in res)
+        return time.perf_counter() - t0, steps
+
+    run()  # compile
+    t_s, _ = run()
+    t_l, steps = run()
+    sps = steps / max(t_l, 1e-9)
+    print(
+        json.dumps(
+            {
+                "metric": "on_device_recollect_env_steps_per_sec_per_chip",
+                "value": round(sps, 2),
+                "unit": "env-steps/s",
+                "note": "GT re-simulation as device render scans (TPU.ON_DEVICE_RECOLLECT)",
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
 def bench_rl_rollout() -> None:
     """On-device DD-PPO rollout collection throughput: the production
     DeviceRolloutCollector scan (12-pano render + waypoint policy act +
@@ -445,6 +511,9 @@ def main() -> None:
         return
     if "--dagger-collect" in sys.argv:
         bench_dagger_collect()
+        return
+    if "--recollect" in sys.argv:
+        bench_recollect()
         return
     tpu_sps = bench_tpu()
     if "--scan" in sys.argv:

@@ -57,8 +57,9 @@ def render_gt_episodes_on_device(
     trajs = [trajectories[ep.episode_id] for ep in episodes]
     lens = [len(t) for t in trajs]
     # bucket the padded length so the jitted rollout compiles once per
-    # bucket, not once per distinct max-length
-    T_pad = -(-max(lens) // 32) * 32
+    # bucket, not once per distinct max-length; fine buckets keep the
+    # padded-row readback waste small (each row is ~MBs of obs on the wire)
+    T_pad = -(-max(lens) // 8) * 8
     actions = np.zeros((T_pad, B), np.int32)  # STOP-padded tails
     for b, traj in enumerate(trajs):
         actions[: len(traj), b] = [step[1] for step in traj]
@@ -72,7 +73,15 @@ def render_gt_episodes_on_device(
                 pos, heading, tilt = c
                 obs = render_batch(scenes, pos, heading, specs, tilt=tilt)
                 obs["progress"] = progress_batch(scenes, pos)
-                emit = {k: v.reshape((B, -1)) for k, v in obs.items()}
+                emit = {}
+                for k, v in obs.items():
+                    v = v.reshape((B, -1))
+                    if v.dtype == jnp.float32 and k != "progress":
+                        # f32 depth frames cross the wire as f16 — strictly
+                        # more precise than the bf16 the encoders consume,
+                        # and half the bytes; upcast host-side
+                        v = v.astype(jnp.float16)
+                    emit[k] = v
                 pos2, heading2 = step_batch(
                     scenes, pos, heading, a, forward_step, turn_angle, allow_sliding
                 )
@@ -100,10 +109,12 @@ def render_gt_episodes_on_device(
     out = []
     for b, (ep, traj) in enumerate(zip(episodes, trajs)):
         T_ep = lens[b]
-        obs = {
-            k: np.asarray(v[:T_ep, b]).reshape((T_ep,) + shapes[k])
-            for k, v in seq.items()
-        }
+        obs = {}
+        for k, v in seq.items():
+            arr = np.asarray(v[:T_ep, b])
+            if arr.dtype == np.float16:
+                arr = arr.astype(np.float32)
+            obs[k] = arr.reshape((T_ep,) + shapes[k])
         obs[instr_uuid] = np.repeat(arrays["instruction"][b][None], T_ep, axis=0)
         prev = np.asarray([s[0] for s in traj], np.int64)
         oracle = np.asarray([s[2] for s in traj], np.int64)
