@@ -372,3 +372,13 @@ def test_recollect_on_device_matches_host_episodes(tmp_path):
         assert float((diff > 1).mean()) < 0.02
         np.testing.assert_allclose(d_obs["depth"], h_obs["depth"], atol=1e-3)
         np.testing.assert_allclose(d_obs["progress"], h_obs["progress"], atol=1e-4)
+
+
+def test_recollect_trainer_on_device_end_to_end(tmp_path):
+    """Recollect trainer trains to a checkpoint with TPU.ON_DEVICE_RECOLLECT
+    (device-rendered episodes feeding the same batch/update machinery)."""
+    tmp = str(tmp_path)
+    cfg = _recollect_cfg(tmp, ["TPU.ON_DEVICE_RECOLLECT", True])
+    trainer = registry.get_trainer("recollect_trainer")(cfg)
+    trainer.train()
+    assert os.path.exists(f"{tmp}/ckpts/ckpt.0.ckpt")
