@@ -181,3 +181,39 @@ def test_discretized_waypoint_env_steps_without_reward_measure():
         assert not env.habitat_env.task.is_stop_called
         assert "rgb" in obs
     env.close()
+
+
+def test_wddppo_obs_shapes_not_sticky():
+    """update_device's flattened-obs reshape map must not leak into later
+    update()/update_device() calls (cross-mode contamination regression)."""
+    import types
+
+    import jax.numpy as jnp
+
+    from vlnce_tpu.config import get_config
+    from vlnce_tpu.rl.ppo import WDDPPO
+
+    cfg = get_config(opts=["RL.PPO.num_mini_batch", 2])
+    policy = types.SimpleNamespace(params={"w": jnp.zeros((2,))})
+    agent = WDDPPO(policy, cfg.RL.PPO, mesh=None)
+
+    # simulate a prior device update having set the reshape map
+    agent._obs_shapes = {"rgb": (4, 4, 3)}
+
+    # update() over host rollouts must clear it before building any step;
+    # an empty generator exercises exactly the reset path
+    rollouts = types.SimpleNamespace(
+        returns=np.zeros((2, 1, 1), np.float32),
+        value_preds=np.zeros((2, 1, 1), np.float32),
+        recurrent_generator=lambda adv, nmb, rng: iter(()),
+    )
+    agent.update(rollouts, np.random.RandomState(0))
+    assert agent._obs_shapes is None
+
+    # update_device without obs_shapes in the batch must also clear a stale
+    # map (reset happens before the minibatch-count validation raises)
+    agent._obs_shapes = {"rgb": (4, 4, 3)}
+    batch = {"value_preds": np.zeros((2, 1, 1), np.float32)}
+    with pytest.raises(ValueError):
+        agent.update_device(batch, np.random.RandomState(0))
+    assert agent._obs_shapes is None

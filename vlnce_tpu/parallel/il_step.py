@@ -23,6 +23,7 @@ from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
@@ -140,6 +141,108 @@ def build_il_accum_step(module, optimizer, num_layers: int, hidden: int,
         return params, optim_state, grads, loss, action_loss, aux_loss
 
     return jax.jit(accum_step, donate_argnums=(0, 1, 2))
+
+
+def globalize_batch(mesh: Mesh, obs_tn: Dict[str, jnp.ndarray], prev_tn,
+                    masks_tn, corrected, weights) -> Tuple:
+    """Multi-process entry into the sharded train steps: assemble GLOBAL
+    arrays from per-process local batch shards.
+
+    Under multi-process JAX (jax.distributed on a pod) no process can
+    address the full env axis with jnp.asarray — each process contributes
+    its own env shard (process p owns global envs [p*N_local, (p+1)*N_local))
+    and jax.make_array_from_process_local_data stitches them into one
+    globally-sharded array per leaf. Requires every process to supply the
+    SAME local shape (pad_batch_env_axis + pad_time_axis guarantee it).
+    Single-process: identity. This is the TPU analog of the reference's
+    per-rank DistributedSampler shards feeding DDP
+    (ddppo_waypoint_trainer.py:310-370)."""
+    if jax.process_count() == 1:
+        return obs_tn, prev_tn, masks_tn, corrected, weights
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    nproc = jax.process_count()
+
+    def g(x):
+        x = np.asarray(x)  # process-local host data (device leaves read back)
+        gshape = (x.shape[0], x.shape[1] * nproc) + tuple(x.shape[2:])
+        return jax.make_array_from_process_local_data(sharding, x, gshape)
+
+    return (
+        {k: g(v) for k, v in obs_tn.items()},
+        g(prev_tn), g(masks_tn), g(corrected), g(weights),
+    )
+
+
+def global_max_time(mesh: Mesh, t_local: int) -> int:
+    """Agree the padded time length across processes: every process's batch
+    has its own bucketed T (length bucketing is per-process data), but a
+    globally-sharded [T, N_global] array needs ONE T. A [D]-element array
+    (one slot per data shard, each process filling its local slots with its
+    T) reduced with max is the host-side allgather — no separate control
+    plane, the same mesh carries it."""
+    if jax.process_count() == 1:
+        return t_local
+    from jax.sharding import NamedSharding
+
+    d = mesh.shape[DATA_AXIS]
+    nproc = jax.process_count()
+    local = np.full((d // nproc,), t_local, np.int32)
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(DATA_AXIS)), local, (d,)
+    )
+    return int(jax.jit(jnp.max, out_shardings=NamedSharding(mesh, P()))(arr))
+
+
+def pad_time_axis(obs_tn: Dict[str, jnp.ndarray], prev_tn, masks_tn,
+                  corrected, weights, t_target: int) -> Tuple:
+    """Pad the time axis of a [T, N, ...] IL batch up to t_target. Padded
+    steps carry zero inflection weight, so they are excluded from the loss
+    exactly (same guarantee as collate's tail padding, data/collate.py)."""
+    T = corrected.shape[0]
+    if t_target == T:
+        return obs_tn, prev_tn, masks_tn, corrected, weights
+    pad_t = t_target - T
+
+    def pad(a, value=0):
+        width = [(0, pad_t)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, width, constant_values=value)
+
+    return (
+        {k: pad(v) for k, v in obs_tn.items()},
+        pad(prev_tn),
+        pad(masks_tn, 1),  # mid-sequence semantics; loss-invisible (w=0)
+        pad(corrected),
+        pad(weights),
+    )
+
+
+def prepare_global_batch(mesh: Optional[Mesh], obs_tn, prev_tn, masks_tn,
+                         corrected, weights) -> Tuple:
+    """Everything between a process-local [T, N_local, ...] batch and the
+    sharded train step: pad N to the per-process shard multiple, agree T
+    across processes, and stitch the global arrays. Single-process +
+    mesh=None: identity. This is the one call sites use — DaggerTrainer,
+    RecollectTrainer, and the dryrun all go through here, so pod-scale
+    correctness is a property of the production path, not of a demo."""
+    if mesh is None:
+        return obs_tn, prev_tn, masks_tn, corrected, weights
+    nproc = jax.process_count()
+    multiple = mesh.shape[DATA_AXIS]
+    if nproc > 1:
+        assert multiple % nproc == 0, (
+            f"data axis {multiple} not divisible by {nproc} processes"
+        )
+        multiple //= nproc
+    batch = pad_batch_env_axis(
+        obs_tn, prev_tn, masks_tn, corrected, weights, multiple=multiple
+    )
+    if nproc > 1:
+        t_g = global_max_time(mesh, int(batch[3].shape[0]))
+        batch = pad_time_axis(*batch, t_target=t_g)
+        batch = globalize_batch(mesh, *batch)
+    return batch
 
 
 def pad_batch_env_axis(obs_tn: Dict[str, jnp.ndarray], prev_tn, masks_tn,

@@ -1,0 +1,178 @@
+"""Multi-process training smoke: the PRODUCTION DaggerTrainer update across
+2 JAX processes.
+
+The reference trains DD-PPO across 8 SLURM nodes (reference
+ddppo_waypoint_trainer.py:310-370, sbatch_scripts/waypoint_train.sh); the
+TPU analog is one JAX process per host feeding its local data shard into a
+global-mesh shard_map step. This module proves the pod path on one machine:
+two subprocesses x 4 virtual CPU devices rendezvous via jax.distributed,
+each supplies its HALF of a deterministic IL batch to
+DaggerTrainer._update_agent (which routes through
+parallel/il_step.py:prepare_global_batch -> make_array_from_process_local_data),
+and the resulting loss must equal the single-process 8-device run on the
+full batch.
+
+Used by tests/test_multiprocess_train.py and by __graft_entry__'s
+dryrun_multichip 2-process mode.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+# deterministic tiny workload: T x N_GLOBAL batch, env axis split across
+# processes; N_GLOBAL deliberately NOT divisible by the 8-wide data axis so
+# padding is exercised on both topologies
+T_STEPS = 4
+N_GLOBAL = 6
+IMG = 32
+INSTR = 64
+
+
+def _cfg_and_space():
+    from gymnasium import spaces
+
+    from vlnce_tpu.config import get_config
+
+    cfg = get_config(
+        opts=[
+            "MODEL.DEPTH_ENCODER.backbone", "resnet18",
+            "MODEL.RGB_ENCODER.cnn_type", "TorchVisionResNet18",
+            "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", False,
+            "MODEL.INSTRUCTION_ENCODER.bidirectional", True,
+            "MODEL.PROGRESS_MONITOR.use", True,
+        ]
+    )
+    space = spaces.Dict(
+        {
+            "rgb": spaces.Box(0, 255, (IMG, IMG, 3), np.uint8),
+            "depth": spaces.Box(0, 1, (IMG, IMG, 1), np.float32),
+            "instruction": spaces.Box(0, 10000, (INSTR,), np.int32),
+            "progress": spaces.Box(0, 1, (1,), np.float32),
+        }
+    )
+    return cfg, space
+
+
+def _global_batch():
+    """The full deterministic [T, N_GLOBAL] batch (identical in every
+    process and in the single-process reference run)."""
+    rng = np.random.RandomState(7)
+    obs = {
+        "rgb": rng.randint(0, 255, (T_STEPS, N_GLOBAL, IMG, IMG, 3)).astype(np.uint8),
+        "depth": rng.rand(T_STEPS, N_GLOBAL, IMG, IMG, 1).astype(np.float32),
+        "instruction": np.zeros((T_STEPS, N_GLOBAL, INSTR), np.int32),
+        "progress": rng.rand(T_STEPS, N_GLOBAL, 1).astype(np.float32),
+    }
+    obs["instruction"][:, :, :6] = rng.randint(1, 50, (6,))
+    prev = rng.randint(0, 4, (T_STEPS, N_GLOBAL)).astype(np.int64)
+    masks = np.ones((T_STEPS, N_GLOBAL), np.float32)
+    masks[0] = 0.0
+    corrected = rng.randint(0, 4, (T_STEPS, N_GLOBAL)).astype(np.int64)
+    weights = rng.rand(T_STEPS, N_GLOBAL).astype(np.float32) + 0.5
+    return obs, prev, masks, corrected, weights
+
+
+def run_update(env_lo: int, env_hi: int) -> Tuple[float, float, float]:
+    """Build the production trainer and run _update_agent on the env slice
+    [env_lo, env_hi) of the deterministic global batch. With
+    jax.process_count() > 1 each process passes its own slice; single-process
+    callers pass the full range."""
+    from gymnasium import spaces
+
+    from vlnce_tpu.trainers.dagger_trainer import DaggerTrainer
+
+    cfg, space = _cfg_and_space()
+    trainer = DaggerTrainer(cfg)
+    trainer._initialize_policy(
+        cfg, load_from_ckpt=False,
+        observation_space=space, action_space=spaces.Discrete(4),
+    )
+    obs, prev, masks, corrected, weights = _global_batch()
+    sl = slice(env_lo, env_hi)
+    n = env_hi - env_lo
+    obs_flat = {
+        k: v[:, sl].reshape((T_STEPS * n,) + v.shape[2:]) for k, v in obs.items()
+    }
+    return trainer._update_agent(
+        obs_flat,
+        prev[:, sl].reshape(-1, 1),
+        masks[:, sl].reshape(-1, 1),
+        corrected[:, sl],
+        weights[:, sl],
+    )
+
+
+def worker_main() -> None:
+    """Entry for the spawned rank processes (see launch_two_process)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from vlnce_tpu.parallel.distributed import init_distributed
+
+    assert init_distributed(), "expected multi-process init from env"
+    nproc = jax.process_count()
+    assert N_GLOBAL % nproc == 0
+    per = N_GLOBAL // nproc
+    pid = jax.process_index()
+    loss, action_loss, aux_loss = run_update(pid * per, (pid + 1) * per)
+    print(f"MP_LOSS {pid} {loss!r} {action_loss!r} {aux_loss!r}", flush=True)
+
+
+def launch_two_process(
+    local_devices: int = 4, timeout: float = 420.0,
+    repo_root: Optional[str] = None,
+) -> List[Tuple[float, float, float]]:
+    """Spawn 2 ranks x `local_devices` virtual CPU devices each, run the
+    sharded production update, and return each rank's (loss, action, aux)."""
+    port = _free_port()
+    if repo_root is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={local_devices}",
+            JAX_PLATFORMS="cpu",
+            COORDINATOR_ADDRESS=f"localhost:{port}",
+            NUM_PROCESSES="2",
+            PROCESS_ID=str(pid),
+            PYTHONPATH=repo_root + os.pathsep + env.get("PYTHONPATH", ""),
+            TF_CPP_MIN_LOG_LEVEL="3",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "vlnce_tpu.parallel.mp_smoke"],
+                env=env, cwd=repo_root,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    outs = [p.communicate(timeout=timeout)[0].decode() for p in procs]
+    results: List[Tuple[float, float, float]] = [None, None]  # type: ignore
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            raise RuntimeError(f"mp_smoke rank {pid} failed:\n{out}")
+        for line in out.splitlines():
+            if line.startswith("MP_LOSS"):
+                _, rank, l, a, x = line.split()
+                results[int(rank)] = (float(l), float(a), float(x))
+    assert all(r is not None for r in results), f"missing MP_LOSS lines:\n{outs}"
+    return results
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+if __name__ == "__main__":
+    worker_main()

@@ -195,10 +195,18 @@ class WDDPPO:
 
     # -------------------------------------------------------------- padding
     def _pad_sample(self, dev_sample, n: int):
-        """Pad the minibatch env axis up to a multiple of the data-axis size
-        (instead of silently falling back to single-device); returns the
-        padded sample and the validity mask [n_padded]."""
+        """Pad the minibatch env axis up to a multiple of the PER-PROCESS
+        shard count (instead of silently falling back to single-device);
+        returns the padded sample and the validity mask [n_padded]. Under
+        multi-process JAX each process pads its local shard so the stitched
+        global env axis divides the full data axis."""
         shards = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+        nproc = jax.process_count()
+        if nproc > 1:
+            assert shards % nproc == 0, (
+                f"data axis {shards} not divisible by {nproc} processes"
+            )
+            shards //= nproc
         target = -(-n // shards) * shards
         valid = jnp.ones((target,), jnp.float32).at[n:].set(0.0) if target != n else jnp.ones((n,), jnp.float32)
         if target == n:
@@ -221,6 +229,38 @@ class WDDPPO:
             pad_axis1(old_lp), pad_axis1(adv),
         ), valid
 
+    def _globalize_sample(self, dev_sample, valid):
+        """Multi-process entry into the sharded PPO step: stitch each
+        process's local minibatch shard into globally-sharded arrays (each
+        rank minibatches its OWN rollouts, exactly like reference DD-PPO
+        ranks feeding DDP, ddppo_waypoint_trainer.py:310-370). T is the
+        static rollout length, so only the env axis needs stitching."""
+        if jax.process_count() == 1 or self.mesh is None:
+            return dev_sample, valid
+        from jax.sharding import NamedSharding
+
+        nproc = jax.process_count()
+        env_axis1 = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        env_axis0 = NamedSharding(self.mesh, P(DATA_AXIS))
+
+        def g(x, axis, sharding):
+            x = np.asarray(x)
+            gshape = list(x.shape)
+            gshape[axis] *= nproc
+            return jax.make_array_from_process_local_data(sharding, x, tuple(gshape))
+
+        obs, hidden0, actions, prev_actions, value_preds, returns, masks, old_lp, adv = dev_sample
+        sample = (
+            {k: g(v, 1, env_axis1) for k, v in obs.items()},
+            g(hidden0, 0, env_axis0),
+            {k: g(v, 1, env_axis1) for k, v in actions.items()},
+            {k: g(v, 1, env_axis1) for k, v in prev_actions.items()},
+            g(value_preds, 1, env_axis1), g(returns, 1, env_axis1),
+            g(masks, 1, env_axis1), g(old_lp, 1, env_axis1),
+            g(adv, 1, env_axis1),
+        )
+        return sample, g(valid, 0, env_axis0)
+
     # --------------------------------------------------- update (device batch)
     def update_device(self, batch: Dict, rng: np.random.RandomState, update_idx: int = 0):
         """PPO update over a DEVICE-resident rollout batch (from
@@ -233,9 +273,10 @@ class WDDPPO:
             clip_param *= max(0.0, 1.0 - update_idx / float(self.num_updates))
         clip_param = jnp.asarray(clip_param, jnp.float32)
 
+        # per-call, never sticky: a later update() over full-shape host obs
+        # must not inherit a device batch's flattened-obs reshape map
         obs_shapes = batch.get("obs_shapes")
-        if obs_shapes is not None:
-            self._obs_shapes = dict(obs_shapes)
+        self._obs_shapes = dict(obs_shapes) if obs_shapes is not None else None
 
         T, N = batch["value_preds"].shape[:2]
         if N < self.cfg.num_mini_batch:
@@ -264,6 +305,7 @@ class WDDPPO:
                     take1(batch["advantages"]),
                 )
                 dev_sample, valid = self._pad_sample(dev_sample, n)
+                dev_sample, valid = self._globalize_sample(dev_sample, valid)
                 n_padded = int(valid.shape[0])
                 key = (T, n_padded, tuple(sorted((self._obs_shapes or {}).items())))
                 if key not in self._step_cache:
@@ -284,6 +326,9 @@ class WDDPPO:
 
     # ------------------------------------------------------------------ update
     def update(self, rollouts, rng: np.random.RandomState, update_idx: int = 0):
+        # host rollouts carry full-shape obs: clear any reshape map a prior
+        # update_device() left behind (cross-mode contamination hazard)
+        self._obs_shapes = None
         # linear clip decay (reference use_linear_clip_decay semantics)
         clip_param = self.cfg.clip_param
         if getattr(self.cfg, "use_linear_clip_decay", False) and self.num_updates:
@@ -309,6 +354,7 @@ class WDDPPO:
                     jnp.asarray(adv),
                 )
                 dev_sample, valid = self._pad_sample(dev_sample, n)
+                dev_sample, valid = self._globalize_sample(dev_sample, valid)
                 n_padded = int(valid.shape[0])
                 key = (T, n_padded, tuple(sorted((self._obs_shapes or {}).items())))
                 if key not in self._step_cache:

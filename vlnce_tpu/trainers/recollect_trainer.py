@@ -106,10 +106,9 @@ class RecollectTrainer(BaseVLNCETrainer):
                         jnp.asarray(weights),
                     )
                     if self.mesh is not None:
-                        from vlnce_tpu.parallel.il_step import pad_batch_env_axis
-                        from vlnce_tpu.parallel.mesh import DATA_AXIS
+                        from vlnce_tpu.parallel.il_step import prepare_global_batch
 
-                        dev_batch = pad_batch_env_axis(*dev_batch, multiple=self.mesh.shape[DATA_AXIS])
+                        dev_batch = prepare_global_batch(self.mesh, *dev_batch)
                     (
                         self.policy.params, self.optim_state, accum_grads,
                         loss, action_loss, aux_loss,
