@@ -2,6 +2,10 @@
 
 Tiny encoders/images keep CPU compile time bounded; these guard the full
 collection -> store -> jitted-update -> checkpoint -> eval pipeline.
+
+Slow tier: every test here builds policies and compiles full train steps —
+run with `pytest -m slow tests/test_trainers.py` (default `pytest -q` is the
+fast tier, pyproject addopts `-m 'not slow'`).
 """
 
 import os
@@ -10,6 +14,8 @@ import numpy as np
 import pytest
 
 import jax
+
+pytestmark = pytest.mark.slow
 
 import vlnce_tpu.tasks  # noqa: F401
 import vlnce_tpu.models  # noqa: F401
@@ -382,3 +388,173 @@ def test_recollect_trainer_on_device_end_to_end(tmp_path):
     trainer = registry.get_trainer("recollect_trainer")(cfg)
     trainer.train()
     assert os.path.exists(f"{tmp}/ckpts/ckpt.0.ckpt")
+
+
+def test_device_dagger_segment_cache_per_policy(tmp_path):
+    """The jitted segment cache lives on the policy object: a second collect
+    with the same policy reuses the compiled closure; a different policy gets
+    its own cache (no id()-reuse aliasing possible), and the per-policy cache
+    stays bounded."""
+    from gymnasium import spaces as gspaces
+
+    from vlnce_tpu.models.cma_policy import CMAPolicy
+    from vlnce_tpu.ops.obs_transforms import get_active_obs_transforms
+    from vlnce_tpu.tasks.datasets import make_dataset
+    from vlnce_tpu.trainers import device_dagger
+    from vlnce_tpu.trainers.device_dagger import collect_episodes_on_device
+
+    cfg = get_config(opts=base_opts(str(tmp_path), [
+        "TASK_CONFIG.DATASET.NUM_EPISODES", 2,
+        "NUM_ENVIRONMENTS", 2,
+    ]))
+    episodes = list(
+        make_dataset("Synthetic-VLN-v0", cfg.TASK_CONFIG.DATASET).episodes
+    )[:2]
+    space = gspaces.Dict({
+        "rgb": gspaces.Box(0, 255, (IMG, IMG, 3), np.uint8),
+        "depth": gspaces.Box(0, 1, (IMG, IMG, 1), np.float32),
+        "instruction": gspaces.Box(0, 10000, (200,), np.int32),
+        "progress": gspaces.Box(0, 1, (1,), np.float32),
+    })
+    transforms = get_active_obs_transforms(cfg)
+
+    def collect(policy):
+        return collect_episodes_on_device(
+            policy, transforms, cfg, episodes, 1.0, jax.random.PRNGKey(0)
+        )
+
+    pol_a = CMAPolicy.from_config(cfg, space, gspaces.Discrete(4))
+    pol_a.init_params(jax.random.PRNGKey(0), batch_size=2)
+    res_a = collect(pol_a)
+    cache_a = getattr(pol_a, device_dagger._CACHE_ATTR)
+    assert len(cache_a) == 1
+    jit_fn = next(iter(cache_a.values()))[0]
+    collect(pol_a)  # same shapes: must be a cache hit, not a new closure
+    assert next(iter(cache_a.values()))[0] is jit_fn
+
+    pol_b = CMAPolicy.from_config(cfg, space, gspaces.Discrete(4))
+    pol_b.init_params(jax.random.PRNGKey(1), batch_size=2)
+    res_b = collect(pol_b)
+    cache_b = getattr(pol_b, device_dagger._CACHE_ATTR)
+    assert cache_b is not cache_a  # per-policy, never shared
+    assert len(res_a) == len(res_b) == 2
+
+    # bound: the eviction runs on insert — drop the real entry, pre-fill with
+    # dummies, and force a re-insert; the cache must never grow past max
+    cache_b.clear()
+    for i in range(device_dagger._CACHE_MAX + 2):
+        cache_b[("dummy", i)] = (None, {})
+    collect(pol_b)
+    assert len(cache_b) <= device_dagger._CACHE_MAX
+
+
+def test_dagger_resident_training_matches_store_losses(tmp_path):
+    """TPU.DAGGER_RESIDENT (fused collect->train, features HBM-resident)
+    produces the same per-batch training losses as the store round-trip
+    path: same collected trajectories, same iterate_episode_keys batching,
+    bit-equal batch tensors at every weighted step."""
+    losses = {}
+    for tag, extra in (
+        ("store", ["TPU.ON_DEVICE_DAGGER", True]),
+        ("resident", ["TPU.ON_DEVICE_DAGGER", True, "TPU.DAGGER_RESIDENT", True]),
+    ):
+        tmp = str(tmp_path / tag)
+        cfg = get_config(opts=base_opts(tmp, [
+            "TASK_CONFIG.DATASET.NUM_EPISODES", 4,
+            "IL.DAGGER.update_size", 4,
+            "IL.epochs", 2,
+            "IL.DAGGER.lmdb_features_dir", f"{tmp}/traj",
+        ] + extra))
+        trainer = registry.get_trainer("dagger")(cfg)
+        rec = []
+        orig = trainer._update_agent
+
+        def wrapped(*a, _orig=orig, _rec=rec):
+            out = _orig(*a)
+            _rec.append(out)
+            return out
+
+        trainer._update_agent = wrapped
+        trainer.train()
+        losses[tag] = np.asarray(rec)
+        assert len(rec) == 4  # 2 epochs x 2 batches
+
+    np.testing.assert_allclose(
+        losses["resident"], losses["store"], rtol=2e-6, atol=1e-7
+    )
+
+
+def test_dagger_resident_archive_store_roundtrip(tmp_path):
+    """DAGGER_ARCHIVE_STORE writes the bank to the trajectory store in the
+    host schema; a bank rebuilt from that store matches the original."""
+    from vlnce_tpu.data.device_bank import DeviceTrajectoryBank
+    from vlnce_tpu.data.trajectory_store import TrajectoryStoreReader, store_length
+
+    tmp = str(tmp_path)
+    cfg = get_config(opts=base_opts(tmp, [
+        "TASK_CONFIG.DATASET.NUM_EPISODES", 4,
+        "IL.DAGGER.update_size", 4,
+        "IL.DAGGER.lmdb_features_dir", f"{tmp}/traj",
+        "TPU.ON_DEVICE_DAGGER", True,
+        "TPU.DAGGER_RESIDENT", True,
+        "TPU.DAGGER_ARCHIVE_STORE", True,
+    ]))
+    trainer = registry.get_trainer("dagger")(cfg)
+    trainer.train()
+    assert store_length(f"{tmp}/traj") == 4
+
+    bank = trainer._bank
+    reader = TrajectoryStoreReader(f"{tmp}/traj")
+    rebuilt = DeviceTrajectoryBank.from_store(reader)
+    reader.close()
+    assert len(rebuilt) == len(bank)
+    np.testing.assert_array_equal(rebuilt.lengths, bank.lengths)
+    # a store-rebuilt bank packs rows densely while the collected bank keeps
+    # chunk-tail padding — offsets differ by design; the EPISODE rows must
+    # match exactly (the store wrote f32 from f16 storage, so exact)
+    oracle_a = np.asarray(rebuilt.oracle)
+    oracle_b = np.asarray(bank.oracle)
+    for e in range(len(bank)):
+        ra, rb = int(rebuilt.offsets[e]), int(bank.offsets[e])
+        T = int(bank.lengths[e])
+        np.testing.assert_array_equal(oracle_a[ra : ra + T], oracle_b[rb : rb + T])
+        for k in bank.data:
+            a = np.asarray(rebuilt.data[k][ra : ra + T]).astype(np.float32)
+            b = np.asarray(bank.data[k][rb : rb + T]).astype(np.float32)
+            np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_recollect_resident_matches_host_losses(tmp_path):
+    """TPU.RECOLLECT_RESIDENT (fused render->train) matches the wire path's
+    per-batch losses: same GT trajectories, same batch composition. Not
+    bit-equal — the wire path quantizes depth through f16 while the resident
+    path keeps the render exact — so compare at f16-quantization tolerance."""
+    losses = {}
+    for tag, extra in (
+        ("wire", ["TPU.ON_DEVICE_RECOLLECT", True]),
+        ("resident", ["TPU.ON_DEVICE_RECOLLECT", True, "TPU.RECOLLECT_RESIDENT", True]),
+    ):
+        tmp = str(tmp_path / tag)
+        cfg = _recollect_cfg(tmp, ["IL.epochs", 1] + extra)
+        trainer = registry.get_trainer("recollect_trainer")(cfg)
+        rec = []
+        orig = trainer._build_accum_step
+
+        def wrapped_build(apply, _orig=orig, _rec=rec):
+            step = _orig(apply)
+
+            def step_recording(*a):
+                out = step(*a)
+                _rec.append(float(out[3]))
+                return out
+
+            return step_recording
+
+        trainer._build_accum_step = wrapped_build
+        trainer.train()
+        losses[tag] = np.asarray(rec)
+        assert len(rec) == 2  # 4 episodes / batch 2
+
+    np.testing.assert_allclose(
+        losses["resident"], losses["wire"], rtol=2e-3, atol=1e-4
+    )

@@ -97,9 +97,22 @@ _C.TPU.ON_DEVICE_ROLLOUT = False
 # (requires GridWorldSim-v0; trainers/device_dagger.py)
 _C.TPU.ON_DEVICE_DAGGER = False
 _C.TPU.DAGGER_SEGMENT = 32  # scan steps per dispatch in device collection
+# fused collect->train: collected frozen-encoder features stay in HBM as a
+# DeviceTrajectoryBank feeding the jitted IL update directly — no
+# device->store->device round trip (data/device_bank.py). Requires
+# ON_DEVICE_DAGGER (or preload_lmdb_features, which uploads the store once).
+_C.TPU.DAGGER_RESIDENT = False
+# with DAGGER_RESIDENT: also archive collected trajectories into the
+# trajectory store AFTER training starts from the bank (off the critical
+# path); off by default — the store is only needed for preloading later runs
+_C.TPU.DAGGER_ARCHIVE_STORE = False
 # recollection re-simulation as device render scans along GT actions — no
 # env pool (requires GridWorldSim-v0; trainers/device_recollect.py)
 _C.TPU.ON_DEVICE_RECOLLECT = False
+# fused render->train: each training batch is rendered on device and fed to
+# the jitted IL accumulation step directly — rendered frames never visit the
+# host (requires ON_DEVICE_RECOLLECT)
+_C.TPU.RECOLLECT_RESIDENT = False
 # pad env batch to a fixed size so pause_at never retriggers compilation
 _C.TPU.PAD_ENV_BATCH = True
 # on-device rollouts: keep the whole episode split device-resident (one

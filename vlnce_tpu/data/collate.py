@@ -81,6 +81,35 @@ def collate_episodes(
     )
 
 
+def iterate_episode_keys(
+    num_episodes: int,
+    length_fn,
+    batch_size: int,
+    rng: random.Random,
+    preload_size: int,
+):
+    """The reference's length-sorted block-shuffled episode ORDER as a pure
+    key stream (reference dagger_trainer.py:179-186): block-shuffle the key
+    space, then per preload chunk sort by (length, shuffled priority) and
+    block-shuffle at batch granularity.
+
+    `length_fn(key)` is called once per key, chunk by chunk — callers may
+    cache the full payload there. Shared by the store-backed iterator and the
+    device-resident bank iterator so both produce IDENTICAL batch composition
+    for the same seed (the resident-vs-store loss-parity guarantee)."""
+    order = block_shuffle(list(range(num_episodes)), preload_size, rng)
+    for start in range(0, len(order), preload_size):
+        chunk_keys = order[start : start + preload_size]
+        lengths = [length_fn(k) for k in chunk_keys]
+        priority = list(range(len(chunk_keys)))
+        rng.shuffle(priority)
+        sorted_order = sorted(
+            range(len(chunk_keys)), key=lambda i: (lengths[i], priority[i])
+        )
+        for i in block_shuffle(sorted_order, batch_size, rng):
+            yield chunk_keys[i]
+
+
 class TrajectoryBatchIterator:
     """Iterates a TrajectoryStore as collated batches with the reference's
     length-sorted block-shuffled preload order."""
@@ -105,18 +134,23 @@ class TrajectoryBatchIterator:
         return len(self.reader) // self.batch_size
 
     def _episodes(self) -> Iterator:
-        order = block_shuffle(list(range(len(self.reader))), self.preload_size, self._rng)
-        for start in range(0, len(order), self.preload_size):
-            chunk_keys = order[start : start + self.preload_size]
-            chunk = [self.reader.get(k) for k in chunk_keys]
-            lengths = [len(ep[1]) for ep in chunk]
-            priority = list(range(len(chunk)))
-            self._rng.shuffle(priority)
-            sorted_order = sorted(range(len(chunk)), key=lambda i: (lengths[i], priority[i]))
-            for i in block_shuffle(sorted_order, self.batch_size, self._rng):
-                obs, prev_actions, oracle_actions = chunk[i][0], np.asarray(chunk[i][1]), np.asarray(chunk[i][2])
-                weights = inflection_weights(oracle_actions, self.coef)
-                yield (obs, prev_actions, oracle_actions, weights)
+        # payloads are decoded once per key inside length_fn and held until
+        # yielded — at most one preload chunk resident, exactly as before
+        cache: Dict[int, tuple] = {}
+
+        def length_fn(k: int) -> int:
+            cache[k] = self.reader.get(k)
+            return len(cache[k][1])
+
+        for k in iterate_episode_keys(
+            len(self.reader), length_fn, self.batch_size, self._rng, self.preload_size
+        ):
+            obs, prev_actions, oracle_actions = (
+                cache[k][0], np.asarray(cache[k][1]), np.asarray(cache[k][2])
+            )
+            del cache[k]
+            weights = inflection_weights(oracle_actions, self.coef)
+            yield (obs, prev_actions, oracle_actions, weights)
 
     def __iter__(self):
         batch = []

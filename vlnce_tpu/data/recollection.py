@@ -260,7 +260,27 @@ class TeacherRecollectionDataset:
             yield (obs, prev, oracle, inflection_weights(oracle, self.coef))
 
     def batches(self, num_batches: int) -> Iterator:
-        """num_batches collated batches per epoch."""
+        """num_batches collated batches per epoch. With
+        TPU.RECOLLECT_RESIDENT each batch is rendered on device and stays
+        there (same episode order as the host/device episode iterators:
+        dataset order, wrapping)."""
+        if self._on_device and bool(
+            getattr(self.config.TPU, "RECOLLECT_RESIDENT", False)
+        ):
+            from vlnce_tpu.trainers.device_recollect import render_gt_batch_resident
+
+            def ep_cycle():
+                while True:
+                    yield from self._device_episodes
+
+            it = ep_cycle()
+            for _ in range(num_batches):
+                group = [next(it) for _ in range(self.batch_size)]
+                yield render_gt_batch_resident(
+                    self.config, group, self.trajectories, self.coef,
+                    instr_uuid=self._instr_uuid,
+                )
+            return
         it = self.episodes()
         for _ in range(num_batches):
             batch = [next(it) for _ in range(self.batch_size)]

@@ -49,6 +49,7 @@ class DaggerTrainer(BaseVLNCETrainer):
         )
         super().__init__(config)
         self._train_step = None  # built lazily once the policy exists
+        self._bank = None  # DeviceTrajectoryBank (TPU.DAGGER_RESIDENT)
 
     # ------------------------------------------------------------------ train
     def train(self) -> None:
@@ -78,21 +79,29 @@ class DaggerTrainer(BaseVLNCETrainer):
         )
         os.makedirs(config.CHECKPOINT_FOLDER, exist_ok=True)
 
+        resident = bool(config.TPU.DAGGER_RESIDENT)
         with TensorboardWriter(config.TENSORBOARD_DIR, purge_step=0) as writer:
             for dagger_it in range(config.IL.DAGGER.iterations):
                 step_id = 0
-                if not config.IL.DAGGER.preload_lmdb_features:
-                    self._update_dataset(dagger_it + (1 if config.IL.load_from_ckpt else 0))
-                gc.collect()
+                reader = None
+                if resident:
+                    diter = self._resident_iterator(
+                        dagger_it + (1 if config.IL.load_from_ckpt else 0),
+                        seed=config.TASK_CONFIG.SEED + dagger_it,
+                    )
+                else:
+                    if not config.IL.DAGGER.preload_lmdb_features:
+                        self._update_dataset(dagger_it + (1 if config.IL.load_from_ckpt else 0))
+                    gc.collect()
 
-                reader = TrajectoryStoreReader(self.features_dir)
-                diter = TrajectoryBatchIterator(
-                    reader,
-                    batch_size=config.IL.batch_size,
-                    use_iw=config.IL.use_iw,
-                    inflection_weight_coef=config.IL.inflection_weight_coef,
-                    seed=config.TASK_CONFIG.SEED + dagger_it,
-                )
+                    reader = TrajectoryStoreReader(self.features_dir)
+                    diter = TrajectoryBatchIterator(
+                        reader,
+                        batch_size=config.IL.batch_size,
+                        use_iw=config.IL.use_iw,
+                        inflection_weight_coef=config.IL.inflection_weight_coef,
+                        seed=config.TASK_CONFIG.SEED + dagger_it,
+                    )
                 # store read + msgpack decode + collate run in a background
                 # thread, overlapping the jitted update (IL.prefetch_batches)
                 diter = PrefetchIterator(diter, depth=config.IL.prefetch_batches)
@@ -113,7 +122,75 @@ class DaggerTrainer(BaseVLNCETrainer):
                         f"ckpt.{dagger_it * config.IL.epochs + epoch}.ckpt",
                         extra_state={"epoch": epoch, "step_id": step_id, "dagger_it": dagger_it},
                     )
+                if reader is not None:
+                    reader.close()
+
+    # ----------------------------------------------------- resident pipeline
+    def _resident_iterator(self, data_it: int, seed: int):
+        """Fused collect->train (TPU.DAGGER_RESIDENT): collection keeps the
+        frozen-encoder features in HBM (DeviceTrajectoryBank) and the batch
+        iterator gathers train batches on device — the trajectory store is
+        bypassed (or written only as an archive). Banks accumulate across
+        DAgger iterations like the store does."""
+        import time as _time
+
+        from vlnce_tpu.data.device_bank import (
+            DeviceTrajectoryBank, ResidentBatchIterator,
+        )
+
+        config = self.config
+        if config.IL.DAGGER.preload_lmdb_features:
+            if self._bank is None:
+                reader = TrajectoryStoreReader(self.features_dir)
+                self._bank = DeviceTrajectoryBank.from_store(reader)
                 reader.close()
+                logger.info(
+                    f"uploaded trajectory store to device bank: "
+                    f"{len(self._bank)} episodes, "
+                    f"{self._bank.nbytes() / 2**20:.1f} MiB"
+                )
+        else:
+            if not bool(config.TPU.ON_DEVICE_DAGGER):
+                raise RuntimeError(
+                    "TPU.DAGGER_RESIDENT needs TPU.ON_DEVICE_DAGGER (device "
+                    "collection) or IL.DAGGER.preload_lmdb_features (one-time "
+                    "store upload); the host env-pool collector cannot feed "
+                    "the device bank directly"
+                )
+            from vlnce_tpu.tasks.datasets import make_dataset
+            from vlnce_tpu.trainers.device_dagger import collect_episodes_resident
+
+            p = config.IL.DAGGER.p
+            beta = 0.0 if p == 0.0 else p**data_it
+            dataset = make_dataset(
+                config.TASK_CONFIG.DATASET.TYPE, config.TASK_CONFIG.DATASET
+            )
+            episodes = list(dataset.episodes)[: int(config.IL.DAGGER.update_size)]
+            pbar = tqdm.tqdm(total=len(episodes), dynamic_ncols=True)
+            t0 = _time.time()
+            new_bank = collect_episodes_resident(
+                self.policy, self.obs_transforms, config, episodes, beta,
+                self._next_rng(), progress_cb=pbar.update,
+            )
+            pbar.close()
+            logger.info(
+                f"[collection it {data_it}] {len(new_bank)} episodes resident, "
+                f"{new_bank.num_steps} steps in {_time.time() - t0:.1f}s"
+            )
+            if bool(config.TPU.DAGGER_ARCHIVE_STORE):
+                writer = TrajectoryStoreWriter(self.features_dir, drop_existing=False)
+                new_bank.write_to_store(writer, fp16=bool(config.IL.DAGGER.lmdb_fp16))
+                writer.close()
+            self._bank = (
+                new_bank if self._bank is None else self._bank.extend(new_bank)
+            )
+        return ResidentBatchIterator(
+            self._bank,
+            batch_size=config.IL.batch_size,
+            use_iw=config.IL.use_iw,
+            inflection_weight_coef=config.IL.inflection_weight_coef,
+            seed=seed,
+        )
 
     # ------------------------------------------------------- jitted update
     def _build_train_step(self):
@@ -129,8 +206,7 @@ class DaggerTrainer(BaseVLNCETrainer):
         )
 
     def _update_agent(self, observations, prev_actions, masks, corrected, weights) -> Tuple[float, float, float]:
-        from vlnce_tpu.parallel.il_step import pad_batch_env_axis
-        from vlnce_tpu.parallel.mesh import DATA_AXIS
+        from vlnce_tpu.parallel.il_step import prepare_global_batch
 
         if self._train_step is None:
             self._train_step = self._build_train_step()
@@ -145,8 +221,10 @@ class DaggerTrainer(BaseVLNCETrainer):
             jnp.asarray(corrected),
             jnp.asarray(weights),
         )
-        if self.mesh is not None:
-            batch = pad_batch_env_axis(*batch, multiple=self.mesh.shape[DATA_AXIS])
+        # env padding + (under multi-process JAX) cross-process global-array
+        # assembly — each process feeds its local data shard, the step runs
+        # over the global mesh (parallel/il_step.py:prepare_global_batch)
+        batch = prepare_global_batch(self.mesh, *batch)
         params, optim_state, loss, action_loss, aux_loss = self._train_step(
             self.policy.params, self.optim_state, *batch
         )

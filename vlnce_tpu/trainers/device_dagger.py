@@ -5,20 +5,28 @@ The host collection loop (dagger_trainer.py:158-333) crosses the
 host<->device boundary every step and is bounded by the simulator pool.
 With the device-resident grid world and the device expert
 (envs/device_sim.py:expert_action — parity-tested against the host
-ShortestPathSensor) the WHOLE DAgger collection loop runs on device;
-only the cached encoder features (KBs/step) cross back, already in the
-exact store schema the trainer's TrajectoryStoreWriter expects
-(reference dagger_trainer.py:248-467: feature caching via forward hooks,
-msgpack'd (obs, prev_actions, oracle_actions) episodes).
+ShortestPathSensor) the WHOLE DAgger collection loop runs on device.
 
-Enabled by `TPU.ON_DEVICE_DAGGER = True`; requires GridWorldSim-v0 and a
-token-instruction task (the R2R DAgger setting).
+Two consumers share the chunked scan driver:
+
+- collect_episodes_on_device: cached encoder features (KBs/step) cross back
+  to the host in the exact store schema the trainer's TrajectoryStoreWriter
+  expects (reference dagger_trainer.py:248-467: feature caching via forward
+  hooks, msgpack'd (obs, prev_actions, oracle_actions) episodes).
+- collect_episodes_resident: nothing but done flags crosses back — collected
+  rows are packed on device into a DeviceTrajectoryBank
+  (data/device_bank.py) that feeds the jitted IL update directly; the
+  trajectory store becomes an optional archival sink.
+
+Enabled by `TPU.ON_DEVICE_DAGGER = True` (+ `TPU.DAGGER_RESIDENT` for the
+bank path); requires GridWorldSim-v0 and a token-instruction task (the R2R
+DAgger setting).
 """
 
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Tuple
+from typing import Dict, Iterator, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,8 +49,24 @@ from vlnce_tpu.utils.logging import logger
 
 # jitted segment cache: rebuilding the closure per collect() call would
 # retrace (and re-lookup the XLA cache) every DAgger iteration — measured
-# 13s per retrace on a remote chip
-_SEGMENT_CACHE: Dict[tuple, tuple] = {}
+# 13s per retrace on a remote chip. The cache lives ON the policy object
+# (not a module-global keyed by id(policy): id() reuse after GC can alias a
+# stale closure to a new policy) and is bounded FIFO per policy.
+_CACHE_ATTR = "_device_dagger_segment_cache"
+_CACHE_MAX = 8
+
+# pack-jit cache (policy-independent data movement), bounded FIFO
+_PACK_CACHE: Dict[tuple, object] = {}
+_PACK_CACHE_MAX = 32
+_PACK_ROW_QUANTUM = 256  # bucket packed-row counts to bound compile shapes
+
+
+def _policy_cache(policy) -> Dict[tuple, tuple]:
+    cache = getattr(policy, _CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(policy, _CACHE_ATTR, cache)
+    return cache
 
 
 def _expert_arrays(episodes) -> Tuple[np.ndarray, np.ndarray]:
@@ -58,14 +82,16 @@ def _expert_arrays(episodes) -> Tuple[np.ndarray, np.ndarray]:
     return np.stack(fields), np.asarray(goals, np.float32)
 
 
-def collect_episodes_on_device(
+def _chunk_rollouts(
     policy, transforms, config, episodes: List, beta: float, rng,
-    progress_cb=None,
-) -> List[Tuple[Dict[str, np.ndarray], np.ndarray, np.ndarray]]:
-    """Collect `episodes` with the beta-mixed expert/policy driver, fully on
-    device. Returns writer-ready (traj_obs, prev_actions, oracle_actions)
-    triples in episode order — the same payload flush_episode builds in the
-    host loop (dagger_trainer.py:220-240)."""
+) -> Iterator[Tuple[int, Dict[str, np.ndarray], List[Dict], np.ndarray, Dict[str, tuple]]]:
+    """Run the beta-mixed device collection chunk by chunk.
+
+    Yields (real, arrays, pieces, done_before, feat_shapes) per chunk of
+    NUM_ENVIRONMENTS episodes: `pieces` is a list of DEVICE segment dicts
+    ([seg_len, B, ...] leaves, f16 wire dtypes); `done_before` is the
+    host [T_total, B] bool done-flag matrix (the only per-step data that
+    crosses back here)."""
     task_cfg = config.TASK_CONFIG
     specs = camera_specs_from_config(task_cfg.SIMULATOR)
     T_max = int(task_cfg.ENVIRONMENT.MAX_EPISODE_STEPS)
@@ -82,7 +108,7 @@ def collect_episodes_on_device(
     # and was readback-bound at 16 steps/s on a remote-attached chip
     seg_len = max(1, min(int(getattr(config.TPU, "DAGGER_SEGMENT", 32)), T_max))
     cache_key = (
-        id(policy), tuple(specs), B, seg_len, T_max, store_f16,
+        tuple(specs), B, seg_len, T_max, store_f16,
         goal_radius, turn_angle, forward_step, allow_sliding,
         tuple(type(t).__name__ for t in transforms),
     )
@@ -110,7 +136,7 @@ def collect_episodes_on_device(
             a = jnp.where(done, 0, mixed.reshape(-1).astype(jnp.int32))
             # features emitted flattened [B, F]: scan-stacking [B, C, 4, 4]
             # would tile-pad the trailing dims 64x (same trap as the RL
-            # rollout's obs emit — PERFORMANCE.md); hosts reshape back
+            # rollout's obs emit — PERFORMANCE.md); consumers reshape back
             emit = {
                 "progress": obs["progress"],
                 "prev_action": prev_a.reshape(-1),
@@ -134,9 +160,10 @@ def collect_episodes_on_device(
             )
 
         carry2, seq = jax.lax.scan(body, carry, jnp.arange(seg_len))
-        # wire dtype: bf16-sourced features cross the host boundary as f16 —
-        # exact for all in-range bf16 values (7 <= 10 mantissa bits; clamped
-        # against the f16 max) and half the transfer bytes
+        # wire dtype: bf16-sourced features leave the scan as f16 — exact
+        # for all in-range bf16 values (7 <= 10 mantissa bits; clamped
+        # against the f16 max), half the bytes on the wire AND in the
+        # resident bank
         out = {}
         for k, v in seq.items():
             if v.dtype == jnp.bfloat16:
@@ -146,13 +173,15 @@ def collect_episodes_on_device(
             out[k] = v
         return carry2, out
 
-    if cache_key in _SEGMENT_CACHE:
-        segment_jit, feat_shapes = _SEGMENT_CACHE[cache_key]
+    cache = _policy_cache(policy)
+    if cache_key in cache:
+        segment_jit, feat_shapes = cache[cache_key]
     else:
         segment_jit = jax.jit(segment)
-        _SEGMENT_CACHE[cache_key] = (segment_jit, feat_shapes)
+        while len(cache) >= _CACHE_MAX:
+            cache.pop(next(iter(cache)))
+        cache[cache_key] = (segment_jit, feat_shapes)
 
-    results: List[Tuple[Dict[str, np.ndarray], np.ndarray, np.ndarray]] = []
     for lo in range(0, len(episodes), B):
         chunk = episodes[lo : lo + B]
         real = len(chunk)
@@ -175,38 +204,60 @@ def collect_episodes_on_device(
         scenes = build_scene_batch(chunk)
         seg_args = (policy.params, scenes, ef_d, gxz_d, instr_d)
         # segments until every episode stopped (or the step cap)
-        import os as _os, time as _t
-        _dbg = _os.environ.get("DAGGER_DEBUG_TIMING")
-        _t0 = _t.perf_counter()
-        pieces = []
+        pieces: List[Dict] = []
+        done_rows: List[np.ndarray] = []
         t = 0
         beta_np = np.float32(beta)  # numpy scalar: ships with the dispatch,
         # no standalone eager upload (a round trip per call on remote chips)
         while t < T_max:
-            _t1 = _t.perf_counter()
             carry, seg = segment_jit(*seg_args, carry, chunk_rng, beta_np)
-            if _dbg: print(f"  dispatch {_t.perf_counter()-_t1:.2f}s", flush=True)
-            # ONE readback per segment: data + done state together (each
-            # extra device call pays a full round trip on remote chips)
-            seg_np, done_after = jax.device_get((seg, carry[4]))
+            # ONE tiny readback per segment: per-step done flags + the
+            # after-segment done state, bundled into a single device_get
+            done_b4, done_after = jax.device_get((seg["done_before"], carry[4]))
             t += seg_len
-            pieces.append(seg_np)
+            pieces.append(seg)
+            done_rows.append(np.asarray(done_b4))
             if bool(done_after.all()):
                 break
-        if _dbg: print(f"  loop total {_t.perf_counter()-_t0:.2f}s", flush=True)
-        _t2 = _t.perf_counter()
-        seq = {
-            k: np.concatenate([np.asarray(p[k]) for p in pieces], axis=0)[:T_max]
-            for k in pieces[0]
-        }
+        done_before = np.concatenate(done_rows, axis=0)[:T_max]  # [T, B]
+        yield real, arrays, pieces, done_before, feat_shapes
 
+
+def _episode_lengths(done_before: np.ndarray, real: int, T_max: int) -> np.ndarray:
+    """First done flag per env column = steps recorded for that episode."""
+    lengths = np.empty((real,), np.int64)
+    for b in range(real):
+        ends = np.flatnonzero(done_before[:, b])
+        T_ep = int(ends[0]) if len(ends) else T_max
+        lengths[b] = max(T_ep, 1)  # degenerate: started at goal, one STOP step
+    return lengths
+
+
+def collect_episodes_on_device(
+    policy, transforms, config, episodes: List, beta: float, rng,
+    progress_cb=None,
+) -> List[Tuple[Dict[str, np.ndarray], np.ndarray, np.ndarray]]:
+    """Collect `episodes` with the beta-mixed expert/policy driver, fully on
+    device. Returns writer-ready (traj_obs, prev_actions, oracle_actions)
+    triples in episode order — the same payload flush_episode builds in the
+    host loop (dagger_trainer.py:220-240)."""
+    T_max = int(config.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS)
+    store_f16 = bool(config.IL.DAGGER.lmdb_fp16)
+
+    results: List[Tuple[Dict[str, np.ndarray], np.ndarray, np.ndarray]] = []
+    for real, arrays, pieces, done_before, feat_shapes in _chunk_rollouts(
+        policy, transforms, config, episodes, beta, rng
+    ):
+        # one bulk readback per chunk (data crossed the wire nowhere else)
+        pieces_np = jax.device_get(pieces)
+        seq = {
+            k: np.concatenate([np.asarray(p[k]) for p in pieces_np], axis=0)[:T_max]
+            for k in pieces_np[0]
+        }
         instr_np = arrays["instruction"]
-        done_before = np.asarray(seq["done_before"])  # [T, B]
+        lengths = _episode_lengths(done_before, real, T_max)
         for b in range(real):
-            ends = np.flatnonzero(done_before[:, b])
-            T_ep = int(ends[0]) if len(ends) else T_max
-            if T_ep == 0:
-                T_ep = 1  # degenerate: started at goal, single STOP step
+            T_ep = int(lengths[b])
             traj_obs = {
                 "instruction": np.repeat(instr_np[b][None], T_ep, axis=0),
                 "progress": np.asarray(seq["progress"][:T_ep, b]),
@@ -222,5 +273,81 @@ def collect_episodes_on_device(
             results.append((traj_obs, prev, oracle))
             if progress_cb is not None:
                 progress_cb()
-        if _dbg: print(f"  assembly {_t.perf_counter()-_t2:.2f}s", flush=True)
     return results
+
+
+def _build_pack(n_seg: int, T_cut: int, M: int, keys: tuple):
+    """Jitted chunk pack: concat segment emits along time, slice to the step
+    cap, and take the episode-major valid rows (one gather per key). Cached
+    per (segment count, row-bucket) shape."""
+
+    def pack(pieces: tuple, sel: jnp.ndarray):
+        out = {}
+        for k in keys:
+            seq = jnp.concatenate([p[k] for p in pieces], axis=0)[:T_cut]
+            rows = seq.reshape((seq.shape[0] * seq.shape[1],) + seq.shape[2:])
+            out[k] = jnp.take(rows, sel, axis=0)
+        return out
+
+    return jax.jit(pack)
+
+
+def collect_episodes_resident(
+    policy, transforms, config, episodes: List, beta: float, rng,
+    progress_cb=None,
+):
+    """Collect `episodes` fully on device and keep them there: returns a
+    DeviceTrajectoryBank whose rows never visited the host. Per chunk, the
+    only readback is the done-flag matrix; rows are packed episode-major by
+    one jitted gather. This replaces the reference's collect->LMDB->DataLoader
+    round trip (dagger_trainer.py:341-372, 539-567) with HBM residency."""
+    from vlnce_tpu.data.device_bank import DeviceTrajectoryBank
+
+    T_max = int(config.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS)
+    B = max(1, int(config.NUM_ENVIRONMENTS))
+
+    row_chunks, prev_chunks, oracle_chunks, instr_chunks = [], [], [], []
+    all_lengths: List[int] = []
+    shapes: Dict[str, tuple] = {}
+    for real, arrays, pieces, done_before, feat_shapes in _chunk_rollouts(
+        policy, transforms, config, episodes, beta, rng
+    ):
+        lengths = _episode_lengths(done_before, real, T_max)
+        T_tot = sum(int(p["oracle"].shape[0]) for p in pieces)
+        T_cut = min(T_tot, T_max)
+        # episode-major flat (t, b) indices of the real rows; bucket the row
+        # count so the pack jit compiles per (n_seg, M) not per chunk
+        sel = np.concatenate(
+            [np.arange(lengths[b], dtype=np.int64) * B + b for b in range(real)]
+        )
+        M = int(-(-len(sel) // _PACK_ROW_QUANTUM) * _PACK_ROW_QUANTUM)
+        sel = np.pad(sel, (0, M - len(sel)))  # tail rows skipped by offsets
+
+        keys = tuple(k for k in pieces[0] if k != "done_before")
+        pack_key = (len(pieces), T_cut, M, keys, B)
+        if pack_key not in _PACK_CACHE:
+            while len(_PACK_CACHE) >= _PACK_CACHE_MAX:
+                _PACK_CACHE.pop(next(iter(_PACK_CACHE)))
+            _PACK_CACHE[pack_key] = _build_pack(len(pieces), T_cut, M, keys)
+        packed = _PACK_CACHE[pack_key](tuple(pieces), jnp.asarray(sel))
+
+        prev_chunks.append(packed.pop("prev_action").astype(jnp.int32))
+        oracle_chunks.append(packed.pop("oracle").astype(jnp.int32))
+        row_chunks.append(packed)
+        instr_chunks.append(arrays["instruction"][:real])
+        all_lengths.extend(int(x) for x in lengths)
+        shapes = dict(feat_shapes)
+        shapes["progress"] = (1,)
+        if progress_cb is not None:
+            for _ in range(real):
+                progress_cb()
+
+    bank = DeviceTrajectoryBank.from_rows(
+        row_chunks, prev_chunks, oracle_chunks, instr_chunks,
+        all_lengths, shapes,
+    )
+    logger.info(
+        f"device bank: {len(bank)} episodes, {bank.num_steps} steps, "
+        f"{bank.nbytes() / 2**20:.1f} MiB resident"
+    )
+    return bank

@@ -31,8 +31,125 @@ from vlnce_tpu.envs.device_sim import (
 from vlnce_tpu.trainers.scan_eval import _episode_batch_arrays
 
 # jitted render-rollout cache across calls (a rebuilt jit closure retraces
-# at ~13s on remote chips even with a warm XLA cache — PERFORMANCE.md)
+# at ~13s on remote chips even with a warm XLA cache — PERFORMANCE.md).
+# Bounded FIFO: length buckets keep the key count small, but distinct
+# configs in one process must not grow it without bound.
 _RENDER_CACHE: Dict[tuple, object] = {}
+_RENDER_CACHE_MAX = 32
+
+
+def render_gt_batch_resident(
+    config, episodes: List, trajectories: Dict, coef: float,
+    instr_uuid: str = "instruction",
+    length_quantum: int = 16,
+):
+    """One TRAINING batch rendered on device and kept there
+    (TPU.RECOLLECT_RESIDENT): the render scan's output feeds the jitted IL
+    accumulation step directly — no device->host->device round trip per
+    epoch (the host path wires every rendered frame back,
+    recollect_trainer.py + this module's render_gt_episodes_on_device).
+
+    Returns the exact collate_episodes payload (data/collate.py:47-81):
+    obs dict [T*N, ...] (device), prev [T*N,1], masks [T*N,1],
+    corrected [T,N], weights [T,N]. Padded steps re-render the final pose
+    instead of the host's 1.0 fill — loss-identical because padded steps
+    carry zero inflection weight and the RNN is causal."""
+    from vlnce_tpu.data.collate import inflection_weights, _pad_to
+
+    task_cfg = config.TASK_CONFIG
+    specs = camera_specs_from_config(task_cfg.SIMULATOR)
+    forward_step = float(task_cfg.SIMULATOR.FORWARD_STEP_SIZE)
+    turn_angle = math.radians(float(task_cfg.SIMULATOR.TURN_ANGLE))
+    tilt_angle = math.radians(
+        float(getattr(task_cfg.SIMULATOR, "TILT_ANGLE", task_cfg.SIMULATOR.TURN_ANGLE))
+    )
+    allow_sliding = bool(task_cfg.SIMULATOR.HABITAT_SIM_V0.ALLOW_SLIDING)
+    B = len(episodes)
+
+    trajs = [trajectories[ep.episode_id] for ep in episodes]
+    lens = [len(t) for t in trajs]
+    # pad straight to the collate bucket: the render is the collate
+    T_pad = max(lens)
+    if length_quantum > 1:
+        T_pad = -(-T_pad // length_quantum) * length_quantum
+    actions = np.zeros((T_pad, B), np.int32)  # STOP-padded tails
+    for b, traj in enumerate(trajs):
+        actions[: len(traj), b] = [step[1] for step in traj]
+
+    shapes: Dict[str, tuple] = {
+        s.uuid: (s.height, s.width, 3 if s.kind == "rgb" else 1) for s in specs
+    }
+    shapes["progress"] = (1,)
+
+    key = ("resident", tuple(specs), B, T_pad, forward_step, turn_angle,
+           tilt_angle, allow_sliding, instr_uuid)
+    if key not in _RENDER_CACHE:
+
+        def rollout(scenes, pos0, heading0, acts, instr):
+            def body(c, a):
+                pos, heading, tilt = c
+                obs = render_batch(scenes, pos, heading, specs, tilt=tilt)
+                obs["progress"] = progress_batch(scenes, pos)
+                # flattened emit (scan-stacked [T,B,H,W,1|3] would tile-pad
+                # HBM up to 128x — PERFORMANCE.md); reshaped below, inside
+                # the same jit
+                emit = {k: v.reshape((B, -1)) for k, v in obs.items()}
+                pos2, heading2 = step_batch(
+                    scenes, pos, heading, a, forward_step, turn_angle, allow_sliding
+                )
+                tilt2 = step_tilt(tilt, a, tilt_angle)
+                return (pos2, heading2, tilt2), emit
+
+            init = (pos0, heading0, jnp.zeros((B,), jnp.float32))
+            _, seq = jax.lax.scan(body, init, acts)
+            out = {
+                k: v.reshape((T_pad * B,) + shapes[k]) for k, v in seq.items()
+            }
+            out[instr_uuid] = jnp.broadcast_to(
+                instr[None], (T_pad,) + instr.shape
+            ).reshape((T_pad * B,) + instr.shape[1:])
+            return out
+
+        while len(_RENDER_CACHE) >= _RENDER_CACHE_MAX:
+            _RENDER_CACHE.pop(next(iter(_RENDER_CACHE)))
+        _RENDER_CACHE[key] = jax.jit(rollout)
+    rollout_jit = _RENDER_CACHE[key]
+
+    arrays = _episode_batch_arrays(episodes, instr_uuid=instr_uuid, task_cfg=task_cfg)
+    pos_d, heading_d, acts_d, instr_d = jax.device_put(
+        (arrays["pos"], arrays["heading"], actions, arrays["instruction"])
+    )
+    scenes = build_scene_batch(episodes)
+    obs = rollout_jit(scenes, pos_d, heading_d, acts_d, instr_d)
+
+    # prev/oracle/weights/masks are host-tiny; built exactly like collate
+    prev = np.stack(
+        [_pad_to(np.asarray([s[0] for s in t], np.int64), T_pad, 0) for t in trajs],
+        axis=1,
+    )
+    corrected = np.stack(
+        [_pad_to(np.asarray([s[2] for s in t], np.int64), T_pad, 0) for t in trajs],
+        axis=1,
+    )
+    weights = np.stack(
+        [
+            _pad_to(
+                inflection_weights(np.asarray([s[2] for s in t], np.int64), coef),
+                T_pad, 0.0,
+            )
+            for t in trajs
+        ],
+        axis=1,
+    )
+    masks = np.ones((T_pad, B), np.float32)
+    masks[0] = 0.0
+    return (
+        obs,
+        prev.reshape(-1, 1),
+        masks.reshape(-1, 1),
+        corrected,
+        weights,
+    )
 
 
 def render_gt_episodes_on_device(
@@ -92,6 +209,8 @@ def render_gt_episodes_on_device(
             _, seq = jax.lax.scan(body, init, acts)
             return seq
 
+        while len(_RENDER_CACHE) >= _RENDER_CACHE_MAX:
+            _RENDER_CACHE.pop(next(iter(_RENDER_CACHE)))
         _RENDER_CACHE[key] = jax.jit(rollout)
     rollout_jit = _RENDER_CACHE[key]
 
