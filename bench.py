@@ -36,7 +36,120 @@ CHAIN_LONG = 42
 BASELINE_ITERS = 3
 
 
-def bench_tpu() -> float:
+def _flops_of(lowered) -> float:
+    """Model FLOPs of a lowered jit computation via XLA cost analysis."""
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return float(cost.get("flops", float("nan")))
+
+
+def measured_peak_tflops() -> float:
+    """Achievable bf16 matmul peak on this chip (marginal-chain timed big
+    matmul loop) — the denominator for MFU. Measured rather than assumed so
+    the number is honest across chip generations; PERFORMANCE.md records
+    181 TFLOP/s marginal matmul on the attached v5e-class chip."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 4096
+    b = jnp.asarray(np.random.RandomState(0).randn(n, n), jnp.bfloat16)
+
+    def loop(k: int):
+        def f(x):
+            return jax.lax.fori_loop(0, k, lambda i, y: (y @ b) * 0.03125, x)
+
+        return jax.jit(f)
+
+    x0 = jnp.ones((n, n), jnp.bfloat16)
+    f2, f34 = loop(2), loop(34)
+    float(jnp.sum(f2(x0).astype(jnp.float32)))  # compile + warm
+    float(jnp.sum(f34(x0).astype(jnp.float32)))
+    t0 = time.perf_counter()
+    float(jnp.sum(f2(x0).astype(jnp.float32)))
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(jnp.sum(f34(x0).astype(jnp.float32)))
+    t_long = time.perf_counter() - t0
+    per_iter = (t_long - t_short) / 32
+    return 2 * n**3 / per_iter / 1e12
+
+
+def bench_il_train_step() -> dict:
+    """Device time + MFU of the production IL train step (the full-pixel
+    recollect/DAgger update: CMA sequence forward + inflection-weighted CE +
+    backward + Adam, parallel/il_step.py) at production shapes."""
+    import jax
+    import jax.numpy as jnp
+    from gymnasium import spaces
+
+    from vlnce_tpu.config import get_config
+    from vlnce_tpu.models.cma_policy import CMAPolicy
+    from vlnce_tpu.parallel.il_step import build_il_train_step
+    import optax
+
+    T, N = 16, 4
+    cfg = get_config(
+        opts=[
+            "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", False,
+            "MODEL.INSTRUCTION_ENCODER.bidirectional", True,
+            "MODEL.PROGRESS_MONITOR.use", True,
+            "MODEL.RGB_ENCODER.trainable", True,
+            "MODEL.DEPTH_ENCODER.trainable", True,
+        ]
+    )
+    space = spaces.Dict(
+        {
+            "rgb": spaces.Box(0, 255, (RGB_HW, RGB_HW, 3), np.uint8),
+            "depth": spaces.Box(0, 1, (DEPTH_HW, DEPTH_HW, 1), np.float32),
+            "instruction": spaces.Box(0, 10000, (INSTR_LEN,), np.int32),
+            "progress": spaces.Box(0, 1, (1,), np.float32),
+        }
+    )
+    policy = CMAPolicy.from_config(cfg, space, spaces.Discrete(4))
+    policy.init_params(jax.random.PRNGKey(0), batch_size=2)
+    optimizer = optax.adam(2.5e-4)
+    optim_state = optimizer.init(policy.params)
+    train_step = build_il_train_step(
+        policy.module, optimizer, policy.num_recurrent_layers, policy.hidden_size
+    )
+
+    rng = np.random.RandomState(0)
+    obs = {
+        "rgb": jnp.asarray(rng.randint(0, 255, (T, N, RGB_HW, RGB_HW, 3), dtype=np.uint8)),
+        "depth": jnp.asarray(rng.rand(T, N, DEPTH_HW, DEPTH_HW, 1).astype(np.float32)),
+        "instruction": jnp.asarray(
+            np.pad(rng.randint(1, 2000, (T, N, 40)), ((0, 0), (0, 0), (0, INSTR_LEN - 40))).astype(np.int32)
+        ),
+        "progress": jnp.zeros((T, N, 1), jnp.float32),
+    }
+    prev = jnp.zeros((T, N), jnp.int32)
+    masks = jnp.ones((T, N), jnp.float32).at[0].set(0.0)
+    corrected = jnp.ones((T, N), jnp.int32)
+    weights = jnp.ones((T, N), jnp.float32)
+    args = (policy.params, optim_state, obs, prev, masks, corrected, weights)
+    flops = _flops_of(train_step.lower(*args))
+
+    # the step donates (params, opt) — thread them through every call so no
+    # deleted buffer is ever re-passed; timing is value-independent
+    state = (policy.params, optim_state)
+
+    def chain(steps: int, state):
+        params, opt = state
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            params, opt, loss, _, _ = train_step(params, opt, obs, prev, masks, corrected, weights)
+        float(loss)  # readback barrier
+        return time.perf_counter() - t0, (params, opt)
+
+    _, state = chain(1, state)  # compile + warm
+    t_short, state = chain(1, state)
+    t_long, state = chain(5, state)
+    per_step = (t_long - t_short) / 4
+    return {"device_s": per_step, "flops": flops, "env_steps": T * N}
+
+
+def bench_tpu() -> dict:
     import jax
     import jax.numpy as jnp
     from gymnasium import spaces
@@ -91,46 +204,47 @@ def bench_tpu() -> float:
     t_long = chain(CHAIN_LONG)
     per_step = (t_long - t_short) / (CHAIN_LONG - CHAIN_SHORT)
 
-    if "--scan" in sys.argv:
-        # in-jit scan variant: T act steps as ONE dispatch (lax.scan carrying
-        # the recurrent state). Closed-loop eval against a host sim cannot use
-        # this (actions must reach the sim each step); it measures the pure
-        # device time with dispatch overhead removed — the upper bound for a
-        # host-attached serving loop. Reported for PERFORMANCE.md, not the
-        # headline metric.
-        import jax.numpy as jnp2
+    # in-jit scan variant: T act steps as ONE dispatch (lax.scan carrying
+    # the recurrent state). Closed-loop eval against a host sim cannot use
+    # this (actions must reach the sim each step); it measures the pure
+    # device time with dispatch overhead removed — the act-step device time
+    # that MFU is derived from.
+    def scan_steps(T: int):
+        def body(carry, _):
+            actions, states = carry
+            a, s = policy._act_impl(policy.params, obs, states, actions, masks, key, True)
+            return (a, s), ()
 
-        def scan_steps(T: int):
-            def body(carry, _):
-                actions, states = carry
-                a, s = policy._act_impl(policy.params, obs, states, actions, masks, key, True)
-                return (a, s), ()
-
-            (a, s), _ = jax.lax.scan(
-                body, (jnp2.zeros((B, 1), jnp2.int32), policy.initial_rnn_states(B)), None, length=T
-            )
-            return s
-
-        scan_fn = jax.jit(scan_steps, static_argnums=0)
-        float(jnp.sum(scan_fn(CHAIN_SHORT)))  # compile
-        float(jnp.sum(scan_fn(CHAIN_LONG)))
-        t0 = time.perf_counter()
-        float(jnp.sum(scan_fn(CHAIN_SHORT)))
-        t_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(jnp.sum(scan_fn(CHAIN_LONG)))
-        t_l = time.perf_counter() - t0
-        scan_per_step = (t_l - t_s) / (CHAIN_LONG - CHAIN_SHORT)
-        print(
-            json.dumps({
-                "metric": "cma_act_in_jit_scan_env_steps_per_sec_per_chip",
-                "value": round(B / scan_per_step, 2),
-                "unit": "env-steps/s",
-                "dispatch_overhead_ms_per_step": round((per_step - scan_per_step) * 1e3, 3),
-            }),
-            file=sys.stderr,
+        (a, s), _ = jax.lax.scan(
+            body, (jnp.zeros((B, 1), jnp.int32), policy.initial_rnn_states(B)), None, length=T
         )
-    return B / per_step
+        return s
+
+    scan_fn = jax.jit(scan_steps, static_argnums=0)
+    float(jnp.sum(scan_fn(CHAIN_SHORT)))  # compile
+    float(jnp.sum(scan_fn(CHAIN_LONG)))
+    t0 = time.perf_counter()
+    float(jnp.sum(scan_fn(CHAIN_SHORT)))
+    t_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(jnp.sum(scan_fn(CHAIN_LONG)))
+    t_l = time.perf_counter() - t0
+    scan_per_step = (t_l - t_s) / (CHAIN_LONG - CHAIN_SHORT)
+
+    # model FLOPs of ONE act step (XLA cost analysis of the jitted act)
+    act_fn = jax.jit(
+        lambda p, o, s, a, m: policy._act_impl(p, o, s, a, m, key, True)
+    )
+    act_flops = _flops_of(act_fn.lower(
+        policy.params, obs, policy.initial_rnn_states(B),
+        jnp.zeros((B, 1), jnp.int32), masks,
+    ))
+    return {
+        "sps": B / per_step,
+        "act_device_s": scan_per_step,
+        "act_flops": act_flops,
+        "dispatch_ms": (per_step - scan_per_step) * 1e3,
+    }
 
 
 def bench_closed_loop() -> None:
@@ -282,7 +396,83 @@ def bench_dagger_collect() -> None:
                 "metric": "on_device_dagger_collect_env_steps_per_sec_per_chip",
                 "value": round(sps, 2),
                 "unit": "env-steps/s",
-                "note": "render + frozen-feature CMA act + device expert + beta-mix + step (TPU.ON_DEVICE_DAGGER)",
+                "note": "render + frozen-feature CMA act + device expert + beta-mix + step, episodes wired to the host store (TPU.ON_DEVICE_DAGGER)",
+            }
+        ),
+        file=sys.stderr,
+    )
+
+    # -- resident variant: features never leave HBM ---------------------------
+    from vlnce_tpu.trainers.device_dagger import collect_episodes_resident
+
+    def run_resident(n_eps: int):
+        t0 = time.perf_counter()
+        bank = collect_episodes_resident(
+            policy, transforms, cfg, episodes[:n_eps], 1.0, jax.random.PRNGKey(3)
+        )
+        jax.block_until_ready(bank.prev)
+        float(np.asarray(bank.lengths).sum())
+        return time.perf_counter() - t0, bank
+
+    run_resident(B)  # compile
+    t_s, _ = run_resident(B)
+    t_l, bank_l = run_resident(2 * B)
+    _, bank_s = run_resident(B)
+    steps = bank_l.num_steps - bank_s.num_steps
+    res_sps = steps / max(t_l - t_s, 1e-9)
+    print(
+        json.dumps(
+            {
+                "metric": "resident_dagger_collect_env_steps_per_sec_per_chip",
+                "value": round(res_sps, 2),
+                "unit": "env-steps/s",
+                "note": "same scan, rows packed into the HBM DeviceTrajectoryBank — only done flags cross the wire (TPU.DAGGER_RESIDENT)",
+            }
+        ),
+        file=sys.stderr,
+    )
+
+    # -- fused collect -> one training epoch from the bank --------------------
+    import optax
+
+    from vlnce_tpu.data.device_bank import ResidentBatchIterator
+    from vlnce_tpu.parallel.il_step import build_il_train_step
+
+    optimizer = optax.adam(2.5e-4)
+    train_step = build_il_train_step(
+        policy.module, optimizer, policy.num_recurrent_layers, policy.hidden_size
+    )
+
+    def run_fused(n_eps: int):
+        t0 = time.perf_counter()
+        bank = collect_episodes_resident(
+            policy, transforms, cfg, episodes[:n_eps], 1.0, jax.random.PRNGKey(3)
+        )
+        params = jax.tree_util.tree_map(lambda x: x + 0, policy.params)
+        opt = optimizer.init(params)
+        for batch in ResidentBatchIterator(bank, batch_size=8, seed=1):
+            obs, prev, masks, corrected, weights = batch
+            T, N = corrected.shape
+            obs_tn = {k: v.reshape((T, N) + v.shape[1:]) for k, v in obs.items()}
+            params, opt, loss, _, _ = train_step(
+                params, opt, obs_tn, prev.reshape(T, N), masks.reshape(T, N),
+                corrected, weights,
+            )
+        float(loss)  # readback barrier
+        return time.perf_counter() - t0, bank.num_steps
+
+    run_fused(B)  # compile
+    t_s, _ = run_fused(B)
+    t_l, steps_l = run_fused(2 * B)
+    _, steps_s = run_fused(B)
+    fused_sps = (steps_l - steps_s) / max(t_l - t_s, 1e-9)
+    print(
+        json.dumps(
+            {
+                "metric": "resident_dagger_collect_train_env_steps_per_sec_per_chip",
+                "value": round(fused_sps, 2),
+                "unit": "env-steps/s",
+                "note": "collect to HBM bank + one full IL training epoch over it, per collected env step",
             }
         ),
         file=sys.stderr,
@@ -515,18 +705,21 @@ def main() -> None:
     if "--recollect" in sys.argv:
         bench_recollect()
         return
-    tpu_sps = bench_tpu()
-    if "--scan" in sys.argv:
-        # scan-variant runs report device-time numbers on stderr; skip the
-        # slow torch baseline (the headline line comes from plain runs)
+    act = bench_tpu()
+    tpu_sps = act["sps"]
+    try:
+        cpu_sps = bench_torch_cpu_baseline()
+    except Exception as e:  # torch missing/broken should not kill the bench
+        print(f"baseline failed: {e}", file=sys.stderr)
         cpu_sps = float("nan")
-    else:
-        try:
-            cpu_sps = bench_torch_cpu_baseline()
-        except Exception as e:  # torch missing/broken should not kill the bench
-            print(f"baseline failed: {e}", file=sys.stderr)
-            cpu_sps = float("nan")
     vs = tpu_sps / cpu_sps if cpu_sps == cpu_sps else None
+
+    # MFU + device-time breakdown: act step (in-jit scan device time) and the
+    # full-pixel IL train step, against the measured bf16 matmul peak
+    peak_tflops = measured_peak_tflops()
+    train = bench_il_train_step()
+    mfu_act = act["act_flops"] / act["act_device_s"] / (peak_tflops * 1e12)
+    mfu_train = train["flops"] / train["device_s"] / (peak_tflops * 1e12)
     print(
         json.dumps(
             {
@@ -534,6 +727,16 @@ def main() -> None:
                 "value": round(tpu_sps, 2),
                 "unit": "env-steps/s",
                 "vs_baseline": round(vs, 2) if vs is not None else None,
+                "env_steps_per_sec": round(tpu_sps, 2),
+                "mfu_act": round(mfu_act, 4),
+                "mfu_train": round(mfu_train, 4),
+                "act_device_ms_per_step": round(act["act_device_s"] * 1e3, 3),
+                "act_dispatch_overhead_ms": round(act["dispatch_ms"], 3),
+                "train_device_ms_per_step": round(train["device_s"] * 1e3, 3),
+                "train_env_steps_per_sec": round(train["env_steps"] / train["device_s"], 2),
+                "measured_peak_bf16_tflops": round(peak_tflops, 1),
+                "act_gflops_per_step": round(act["act_flops"] / 1e9, 2),
+                "train_gflops_per_step": round(train["flops"] / 1e9, 2),
             }
         )
     )
