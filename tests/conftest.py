@@ -7,6 +7,12 @@ virtual CPU devices, the TPU analog of testing DD-PPO without a cluster
 The axon sitecustomize registers the TPU backend and sets
 jax_platforms="axon,cpu" programmatically, overriding the JAX_PLATFORMS env
 var — so the CPU override must go through jax.config after import.
+
+Test tiers: the default run (`pytest -q`) executes the fast tier; the
+compile-heavy trainer/sharding integration tests are marked `slow`
+(module-level pytestmark) and run with `pytest -m ""` or `-m slow`.
+A persistent XLA compilation cache under tests/.jax_cache makes repeat
+full-tier runs cheap (the first run pays the compiles).
 """
 
 import os
@@ -14,7 +20,15 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# the XLA:CPU AOT cache loader logs a spurious machine-feature-mismatch error
+# (prefer-no-scatter/gather hints) on every cache hit; silence C++ logging
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -14,6 +14,8 @@ import optax
 import pytest
 from gymnasium import spaces
 
+pytestmark = pytest.mark.slow
+
 from vlnce_tpu.config import get_config
 from vlnce_tpu.parallel.mesh import make_mesh, resolve_training_mesh
 from vlnce_tpu.parallel.il_step import (
