@@ -106,6 +106,12 @@ _C.TPU.DAGGER_RESIDENT = False
 # trajectory store AFTER training starts from the bank (off the critical
 # path); off by default — the store is only needed for preloading later runs
 _C.TPU.DAGGER_ARCHIVE_STORE = False
+# precomputed per-(node, heading) visual feature bank directory
+# (data/feature_bank.py; generate with scripts/generate_feature_bank.py).
+# When set, EVAL.ON_DEVICE_SCAN replaces per-step raycasts with bank
+# lookups feeding the encoders' rgb_features/depth_features bypass — the
+# route by which real MP3D scenes ride the device-resident loop.
+_C.TPU.FEATURE_BANK_DIR = ""
 # recollection re-simulation as device render scans along GT actions — no
 # env pool (requires GridWorldSim-v0; trainers/device_recollect.py)
 _C.TPU.ON_DEVICE_RECOLLECT = False

@@ -1,0 +1,193 @@
+"""Precomputed per-node visual feature bank: real scenes on the
+device-resident scan paths.
+
+The on-device scan paths (trainers/scan_eval.py, device_dagger) render
+observations with the procedural GridWorld raycaster — real MP3D scenes
+cannot be rasterized on a TPU. But the policy never consumes pixels when
+frozen-encoder features are available: the visual encoders honor
+``rgb_features``/``depth_features`` observation keys
+(models/encoders/visual_wrappers.py:59,114), the same precompute contract
+the reference uses for RxR BERT features (reference
+habitat_extensions/sensors.py:186-196) and for cached
+``rgb_features``/``depth_features`` (reference
+vlnce_baselines/models/encoders/resnet_encoders.py:92-95).
+
+So: precompute encoder features at every (nav-graph node, heading bin) of a
+scene — offline, with any renderer, including real habitat_sim when assets
+are present (scripts/generate_feature_bank.py) — and the closed-loop scan
+replaces per-step raycasts with one bank lookup per step:
+
+    nearest node  = argmin over node distances      (one-hot contraction)
+    heading bin   = round(heading / bin)            (one-hot contraction)
+    features      = einsum('bm,bh,bmhf->bf', onehot_node, onehot_bin, bank)
+
+All three stages are MXU-shaped matmuls (the TPU lookup rule,
+PERFORMANCE.md: dense table lookups as one-hot contractions, never scalar
+gathers).
+
+Bank schema (one ``{scene_id}.npz`` per scene):
+    node_pos        [M, 2]  f32   world (x, z) per node
+    num_headings    scalar  int   H heading bins, bin k = k * 2pi/H
+    rgb_features    [M, H, F_rgb]   f16 (flattened encoder features)
+    depth_features  [M, H, F_depth] f16
+    rgb_shape / depth_shape         unflattened feature shapes
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlnce_tpu.utils.logging import logger
+
+
+class FeatureBankBatch(NamedTuple):
+    """Per-episode bank arrays stacked on a leading batch axis (node axes
+    padded to the largest M in the batch; padding nodes sit at +1e9 so the
+    nearest-node argmin never selects them)."""
+
+    node_pos: jnp.ndarray  # [B, M, 2] f32
+    rgb: jnp.ndarray  # [B, M, H, F_rgb] f16
+    depth: jnp.ndarray  # [B, M, H, F_depth] f16
+    rgb_shape: Tuple[int, ...]
+    depth_shape: Tuple[int, ...]
+
+    @property
+    def num_headings(self) -> int:
+        return int(self.rgb.shape[2])
+
+
+def save_scene_bank(
+    path: str,
+    node_pos: np.ndarray,
+    rgb_features: np.ndarray,
+    depth_features: np.ndarray,
+    rgb_shape: Tuple[int, ...],
+    depth_shape: Tuple[int, ...],
+) -> None:
+    M, H = rgb_features.shape[:2]
+    np.savez_compressed(
+        path,
+        node_pos=node_pos.astype(np.float32),
+        num_headings=np.int32(H),
+        rgb_features=rgb_features.astype(np.float16).reshape(M, H, -1),
+        depth_features=depth_features.astype(np.float16).reshape(M, H, -1),
+        rgb_shape=np.asarray(rgb_shape, np.int32),
+        depth_shape=np.asarray(depth_shape, np.int32),
+    )
+
+
+def load_bank_batch(bank_dir: str, episodes: List) -> FeatureBankBatch:
+    """Load the per-scene banks for a batch of episodes and stack them
+    (one device_put for the whole batch)."""
+    cache: Dict[str, dict] = {}
+    loaded = []
+    for ep in episodes:
+        sid = _scene_key(ep.scene_id)
+        if sid not in cache:
+            path = os.path.join(bank_dir, f"{sid}.npz")
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"feature bank for scene {sid!r} not found at {path}; "
+                    f"generate it with scripts/generate_feature_bank.py"
+                )
+            with np.load(path) as z:
+                cache[sid] = {k: z[k] for k in z.files}
+        loaded.append(cache[sid])
+
+    H = int(loaded[0]["num_headings"])
+    rgb_shape = tuple(int(x) for x in loaded[0]["rgb_shape"])
+    depth_shape = tuple(int(x) for x in loaded[0]["depth_shape"])
+    for z in loaded:
+        if int(z["num_headings"]) != H:
+            raise ValueError("feature banks disagree on num_headings")
+
+    M = max(z["node_pos"].shape[0] for z in loaded)
+    B = len(loaded)
+    node_pos = np.full((B, M, 2), 1e9, np.float32)
+    rgb = np.zeros((B, M, H, loaded[0]["rgb_features"].shape[-1]), np.float16)
+    depth = np.zeros((B, M, H, loaded[0]["depth_features"].shape[-1]), np.float16)
+    for b, z in enumerate(loaded):
+        m = z["node_pos"].shape[0]
+        node_pos[b, :m] = z["node_pos"]
+        rgb[b, :m] = z["rgb_features"]
+        depth[b, :m] = z["depth_features"]
+    node_pos_d, rgb_d, depth_d = jax.device_put((node_pos, rgb, depth))
+    logger.info(
+        f"feature bank batch: {B} episodes, M<={M} nodes x {H} headings, "
+        f"{(rgb.nbytes + depth.nbytes) / 2**20:.1f} MiB resident"
+    )
+    return FeatureBankBatch(node_pos_d, rgb_d, depth_d, rgb_shape, depth_shape)
+
+
+def _scene_key(scene_id: str) -> str:
+    base = os.path.basename(str(scene_id))
+    return os.path.splitext(base)[0]
+
+
+def lookup_features(
+    bank: FeatureBankBatch, pos: jnp.ndarray, heading: jnp.ndarray
+) -> Dict[str, jnp.ndarray]:
+    """Features at the nearest (node, heading-bin) for each env — jit-safe,
+    all contractions.
+
+    pos [B, 3] world position; heading [B] radians (counter-clockwise, the
+    device-sim convention). Returns {"rgb_features": [B, *rgb_shape],
+    "depth_features": [B, *depth_shape]} in f32.
+    """
+    B, M, H = bank.rgb.shape[:3]
+    xz = jnp.stack([pos[:, 0], pos[:, 2]], axis=-1)  # [B, 2]
+    d2 = jnp.sum((bank.node_pos - xz[:, None, :]) ** 2, axis=-1)  # [B, M]
+    node_oh = jax.nn.one_hot(jnp.argmin(d2, axis=-1), M, dtype=jnp.float32)
+
+    bin_w = 2.0 * jnp.pi / H
+    idx = jnp.mod(jnp.round(heading / bin_w).astype(jnp.int32), H)
+    head_oh = jax.nn.one_hot(idx, H, dtype=jnp.float32)
+
+    def contract(table):
+        f = jnp.einsum(
+            "bm,bh,bmhf->bf", node_oh, head_oh, table.astype(jnp.float32)
+        )
+        return f
+
+    rgb = contract(bank.rgb).reshape((B,) + bank.rgb_shape)
+    depth = contract(bank.depth).reshape((B,) + bank.depth_shape)
+    return {"rgb_features": rgb, "depth_features": depth}
+
+
+def encode_poses(
+    policy, transforms, specs, scene_batch, pos: np.ndarray,
+    heading: np.ndarray, instr_shape: Tuple[int, ...] = (8,),
+    instr_uuid: str = "instruction",
+) -> Tuple[np.ndarray, np.ndarray, Tuple[int, ...], Tuple[int, ...]]:
+    """Render a batch of poses with the device sim and run the policy's
+    frozen encoders — the bank generator's inner step for synthetic scenes
+    (a habitat-backed generator renders with sim.get_observations_at and
+    feeds the same encoder path). Returns (rgb [N, F], depth [N, F],
+    rgb_shape, depth_shape)."""
+    from vlnce_tpu.envs.device_sim import progress_batch, render_batch
+    from vlnce_tpu.ops.obs_transforms import apply_obs_transforms_batch
+
+    n = pos.shape[0]
+    pos_d, heading_d = jax.device_put((pos.astype(np.float32), heading.astype(np.float32)))
+    obs = render_batch(scene_batch, pos_d, heading_d, specs)
+    obs["progress"] = progress_batch(scene_batch, pos_d)
+    obs[instr_uuid] = jnp.zeros((n,) + tuple(instr_shape), jnp.int32)
+    batch = apply_obs_transforms_batch(obs, transforms)
+    _, _, feats = policy.act_with_features(
+        batch,
+        policy.initial_rnn_states(n),
+        jnp.zeros((n, 1), jnp.int32),
+        jnp.ones((n, 1), jnp.float32),
+        deterministic=True,
+    )
+    rgb = np.asarray(feats["rgb_features"], np.float32)
+    depth = np.asarray(feats["depth_features"], np.float32)
+    return (
+        rgb.reshape(n, -1), depth.reshape(n, -1),
+        tuple(rgb.shape[1:]), tuple(depth.shape[1:]),
+    )

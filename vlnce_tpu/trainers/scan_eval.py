@@ -96,24 +96,41 @@ def _episode_batch_arrays(
 def _build_segment_fn(
     policy, transforms, specs, sim_cfg, deterministic: bool, seg_len: int,
     instr_uuid: str = "instruction", use_tilt: bool = False,
-    batch_size: int = 0,
+    batch_size: int = 0, bank_shapes=None,
 ):
     """Jitted closed-loop segment: `seg_len` env steps as ONE dispatch.
     `use_tilt` enables the RxR LOOK_UP/DOWN axis; with it off the tilt carry
-    slot stays inert and the renderer compiles the horizon shift away."""
+    slot stays inert and the renderer compiles the horizon shift away.
+
+    With `bank_shapes` = (rgb_shape, depth_shape), the per-step raycast is
+    replaced by a precomputed-feature-bank lookup (data/feature_bank.py):
+    the segment takes (node_pos, rgb, depth) bank arrays in place of being
+    render-driven, and the policy consumes rgb_features/depth_features
+    directly (the encoders' precompute bypass,
+    models/encoders/visual_wrappers.py:59,114). This is how real MP3D
+    scenes ride the device-resident loop."""
     forward_step = float(sim_cfg.FORWARD_STEP_SIZE)
     turn_angle = math.radians(float(sim_cfg.TURN_ANGLE))
     tilt_angle = math.radians(float(getattr(sim_cfg, "TILT_ANGLE", sim_cfg.TURN_ANGLE)))
     allow_sliding = bool(sim_cfg.HABITAT_SIM_V0.ALLOW_SLIDING)
 
-    def segment(params, scenes: SceneBatch, instruction, carry, rng):
+    def segment(params, scenes: SceneBatch, instruction, carry, rng, bank=None):
         pos, heading, tilt, rnn, prev_actions, done, t0 = carry
 
         def body(c, i):
             pos, heading, tilt, rnn, prev_a, done = c
-            obs = render_batch(
-                scenes, pos, heading, specs, tilt=tilt if use_tilt else None
-            )
+            if bank_shapes is not None:
+                from vlnce_tpu.data.feature_bank import (
+                    FeatureBankBatch, lookup_features,
+                )
+
+                obs = lookup_features(
+                    FeatureBankBatch(*bank, *bank_shapes), pos, heading
+                )
+            else:
+                obs = render_batch(
+                    scenes, pos, heading, specs, tilt=tilt if use_tilt else None
+                )
             obs[instr_uuid] = instruction
             obs["progress"] = progress_batch(scenes, pos)
             batch = apply_obs_transforms_batch(obs, transforms)
@@ -144,7 +161,8 @@ def _build_segment_fn(
 
     # pjit over the data mesh: episodes are independent, so the whole scan
     # shards over the env axis (the scene tensors too — every SceneBatch
-    # leaf is [B, ...]); eval throughput scales linearly with chips
+    # leaf is [B, ...], and so is every bank array); eval throughput scales
+    # linearly with chips
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from vlnce_tpu.parallel.mesh import DATA_AXIS
@@ -153,7 +171,10 @@ def _build_segment_fn(
     env0 = NamedSharding(mesh, P(DATA_AXIS))
     scenes_s = SceneBatch(*(env0 for _ in SceneBatch._fields))
     carry_s = (env0, env0, env0, env0, env0, env0, repl)  # t0 replicated
-    return jax.jit(segment, in_shardings=(repl, scenes_s, env0, carry_s, repl))
+    shardings = (repl, scenes_s, env0, carry_s, repl)
+    if bank_shapes is not None:
+        shardings = shardings + ((env0, env0, env0),)
+    return jax.jit(segment, in_shardings=shardings)
 
 
 def _eval_mesh(policy, batch_size: int):
@@ -201,11 +222,19 @@ def run_scan_rollouts(
     deterministic = not bool(config.EVAL.SAMPLE)
     instr_uuid = str(getattr(config.MODEL.INSTRUCTION_ENCODER, "sensor_uuid", "instruction"))
 
+    bank_dir = str(getattr(config.TPU, "FEATURE_BANK_DIR", "") or "")
+    bank_shapes = None
+    if bank_dir:
+        from vlnce_tpu.data.feature_bank import load_bank_batch
+
+        probe = load_bank_batch(bank_dir, episodes[:1])
+        bank_shapes = (probe.rgb_shape, probe.depth_shape)
+
     segment_fn = _build_segment_fn(
         policy, transforms, specs, task_cfg.SIMULATOR, deterministic, seg_len,
         instr_uuid=instr_uuid,
         use_tilt="LOOK_UP" in list(task_cfg.TASK.POSSIBLE_ACTIONS),
-        batch_size=B,
+        batch_size=B, bank_shapes=bank_shapes,
     )
 
     all_actions: List[np.ndarray] = []
@@ -230,11 +259,22 @@ def run_scan_rollouts(
             ),
         ))
         scenes = build_scene_batch(chunk)
+        seg_extra = ()
+        if bank_shapes is not None:
+            from vlnce_tpu.data.feature_bank import load_bank_batch
+
+            bank = load_bank_batch(bank_dir, chunk)
+            if (bank.rgb_shape, bank.depth_shape) != bank_shapes:
+                raise ValueError(
+                    f"feature-bank shapes changed across chunks: "
+                    f"{(bank.rgb_shape, bank.depth_shape)} vs {bank_shapes}"
+                )
+            seg_extra = ((bank.node_pos, bank.rgb, bank.depth),)
         rng, chunk_rng = jax.random.split(rng)
         collected = []
         t = 0
         while t < T_max:
-            carry, actions = segment_fn(policy.params, scenes, instruction, carry, chunk_rng)
+            carry, actions = segment_fn(policy.params, scenes, instruction, carry, chunk_rng, *seg_extra)
             collected.append(np.asarray(actions))  # [seg_len, B]
             t += seg_len
             if bool(np.asarray(carry[5]).all()):  # done flags
