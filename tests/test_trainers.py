@@ -558,3 +558,66 @@ def test_recollect_resident_matches_host_losses(tmp_path):
     np.testing.assert_allclose(
         losses["resident"], losses["wire"], rtol=2e-3, atol=1e-4
     )
+
+
+def test_device_dagger_beta_mixing_statistics(tmp_path):
+    """At beta=0.5 the device collection's executed-vs-expert agreement rate
+    must satisfy agree(0.5) ~= 0.5 + 0.5 * agree(0) — the expert fraction of
+    the beta mix is beta, with the policy-agrees-by-chance confound measured
+    by the beta=0 run (same policy, same seeds, same episodes). VERDICT r2
+    next #6; reference mix semantics dagger_trainer.py:414-418.
+
+    Episode SELECTION also differs from the host pool by design: the device
+    path takes the first update_size episodes in dataset order while the
+    host pool round-robins scene-split iterators — documented in
+    trainers/device_dagger.py (collection is per-episode independent, so the
+    trajectory DISTRIBUTION per episode is unchanged; only which episodes
+    are visited differs, and at update_size >= dataset size they coincide).
+    """
+    from gymnasium import spaces as gspaces
+
+    from vlnce_tpu.models.cma_policy import CMAPolicy
+    from vlnce_tpu.ops.obs_transforms import get_active_obs_transforms
+    from vlnce_tpu.tasks.datasets import make_dataset
+    from vlnce_tpu.trainers.device_dagger import collect_episodes_on_device
+
+    n_eps = 64  # beta=0 episodes are short (untrained policy stops early);
+    # this many gives >150 executed steps on both runs
+    cfg = get_config(opts=base_opts(str(tmp_path), [
+        "TASK_CONFIG.DATASET.NUM_EPISODES", n_eps,
+        "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", 20,
+        "NUM_ENVIRONMENTS", 16,
+    ]))
+    episodes = list(
+        make_dataset("Synthetic-VLN-v0", cfg.TASK_CONFIG.DATASET).episodes
+    )[:n_eps]
+    space = gspaces.Dict({
+        "rgb": gspaces.Box(0, 255, (IMG, IMG, 3), np.uint8),
+        "depth": gspaces.Box(0, 1, (IMG, IMG, 1), np.float32),
+        "instruction": gspaces.Box(0, 10000, (200,), np.int32),
+        "progress": gspaces.Box(0, 1, (1,), np.float32),
+    })
+    transforms = get_active_obs_transforms(cfg)
+    policy = CMAPolicy.from_config(cfg, space, gspaces.Discrete(4))
+    policy.init_params(jax.random.PRNGKey(0), batch_size=16)
+
+    def agreement(beta: float) -> tuple:
+        res = collect_episodes_on_device(
+            policy, transforms, cfg, episodes, beta, jax.random.PRNGKey(42)
+        )
+        agree = total = 0
+        for _, prev, oracle in res:
+            executed = prev[1:]  # prev_action at t+1 = action executed at t
+            agree += int((executed == oracle[:-1]).sum())
+            total += len(executed)
+        return agree / max(total, 1), total
+
+    a0, n0 = agreement(0.0)
+    a5, n5 = agreement(0.5)
+    assert n0 > 150 and n5 > 100, (n0, n5)  # enough steps for statistics
+    expected = 0.5 + 0.5 * a0
+    # binomial std at n>=100 is <0.05; 0.09 gives ~2 sigma against the
+    # trajectory-divergence noise between the two runs
+    assert abs(a5 - expected) < 0.09, (a5, expected, a0)
+    # sanity: mixing in the expert must RAISE agreement over pure policy
+    assert a5 > a0 + 0.15, (a5, a0)

@@ -21,6 +21,16 @@ Two consumers share the chunked scan driver:
 Enabled by `TPU.ON_DEVICE_DAGGER = True` (+ `TPU.DAGGER_RESIDENT` for the
 bank path); requires GridWorldSim-v0 and a token-instruction task (the R2R
 DAgger setting).
+
+Episode SELECTION note: this path collects the first `update_size`
+episodes in dataset order, while the host env pool draws from per-process
+scene-split iterators (envs/env_utils.py). Collection is per-episode
+independent (fresh PRNG fold per chunk), so each episode's trajectory
+distribution is identical either way; only the visited SUBSET differs, and
+when update_size >= dataset size the two coincide. The beta-mix itself is
+distribution-equivalent to the host loop's `rand < beta` select
+(reference dagger_trainer.py:414-418) — verified statistically at beta=0.5
+in tests/test_trainers.py::test_device_dagger_beta_mixing_statistics.
 """
 
 from __future__ import annotations
