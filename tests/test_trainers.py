@@ -621,3 +621,47 @@ def test_device_dagger_beta_mixing_statistics(tmp_path):
     assert abs(a5 - expected) < 0.09, (a5, expected, a0)
     # sanity: mixing in the expert must RAISE agreement over pure policy
     assert a5 > a0 + 0.15, (a5, a0)
+
+
+def test_waypoint_eval_video_with_overlays(tmp_path):
+    """Waypoint eval with VIDEO_OPTION writes frames through the full
+    overlay compositor (pano probs, stop gauge, step stats, instruction
+    panel — utils/video.py:waypoint_observations_to_image)."""
+    tmp = str(tmp_path)
+    opts = [
+        "BASE_TASK_CONFIG_PATH", "vlnce_tpu/tasks/config/vlnce_waypoint_task.yaml",
+        "TRAINER_NAME", "ddppo-waypoint",
+        "ENV_NAME", "VLNCEWaypointEnv",
+        "TASK_CONFIG.DATASET.TYPE", "Synthetic-VLN-v0",
+        "TASK_CONFIG.DATASET.NUM_EPISODES", 2,
+        "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", 3,
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT", IMG,
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH", IMG,
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT", IMG,
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH", IMG,
+        "TASK_CONFIG.TASK.MEASUREMENTS", "['DISTANCE_TO_GOAL','SUCCESS','SPL','NDTW','PATH_LENGTH','ORACLE_SUCCESS','STEPS_TAKEN','WAYPOINT_REWARD_MEASURE','TOP_DOWN_MAP_VLNCE']",
+        "NUM_ENVIRONMENTS", 2,
+        "TENSORBOARD_DIR", "",
+        "CHECKPOINT_FOLDER", f"{tmp}/ckpts",
+        "RESULTS_DIR", f"{tmp}/evals",
+        "VIDEO_OPTION", "['disk']",
+        "VIDEO_DIR", f"{tmp}/videos",
+        "EVAL.EPISODE_COUNT", 2,
+        "EVAL.SPLIT", "val_unseen",
+        "EVAL.USE_CKPT_CONFIG", False,
+        "RL.POLICY.OBS_TRANSFORMS.ENABLED_TRANSFORMS", "[ObsStack]",
+        "MODEL.policy_name", "WaypointPolicy",
+        "MODEL.DEPTH_ENCODER.backbone", "resnet18",
+        "MODEL.RGB_ENCODER.cnn_type", "TorchVisionResNet18",
+        "MODEL.RGB_ENCODER.output_size", 64,
+        "MODEL.STATE_ENCODER.hidden_size", 64,
+        "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", False,
+        "MODEL.INSTRUCTION_ENCODER.vocab_size", 64,
+        "MODEL.INSTRUCTION_ENCODER.bidirectional", True,
+        "MODEL.INSTRUCTION_ENCODER.final_state_only", False,
+    ]
+    cfg = get_config(opts=opts)
+    trainer = registry.get_trainer("ddppo-waypoint")(cfg)
+    trainer._eval_checkpoint(f"{tmp}/no_ckpt.ckpt", _NullWriter(), 0)
+    vids = os.listdir(f"{tmp}/videos")
+    assert vids, "no eval videos written"

@@ -149,3 +149,50 @@ def test_topdown_map_measure_end_to_end():
     frame = maps.colorize_topdown_metric(metric)
     assert frame.shape == (256, 256, 3)
     env.close()
+
+
+def test_waypoint_frame_full_overlays():
+    """Full waypoint debug composition (reference utils.py:380-543):
+    per-pano probability row + stop gauge + step-stats band + instruction
+    panel each add their strip to the frame, and the oracle waypoint draws
+    without clobbering the shared map."""
+    obs = {
+        "rgb": np.zeros((12, 16, 16, 3), np.uint8),
+        "depth": np.ones((12, 16, 16, 1), np.float32),
+    }
+    metric = make_metric()
+    base_map = np.array(metric["map"])
+    probs = np.full((13,), 1 / 13.0, np.float32)
+    kwargs = dict(
+        pano=3, agent_position=[3, 0, 3], agent_heading=0.4, r=1.5, theta=0.2,
+    )
+    plain = video.waypoint_observations_to_image(
+        obs, {"top_down_map_vlnce": metric}, **kwargs
+    )
+    rich = video.waypoint_observations_to_image(
+        obs, {"top_down_map_vlnce": metric},
+        pano_distribution=probs,
+        offset=0.12, offset_mode=0.10, distance=1.5, distance_mode=1.4,
+        oracle_r=2.0, oracle_theta=1.0,
+        instruction_text="walk straight down the hallway and stop at the door",
+        **kwargs,
+    )
+    # annotation rows (pano ids + probs + stop gauge + stats) add height;
+    # the instruction panel adds width
+    assert rich.shape[0] > plain.shape[0]
+    assert rich.shape[1] > plain.shape[1]
+    assert rich.dtype == np.uint8 and rich.shape[2] == 3
+    # the caller's metric map must be untouched (frames draw on copies)
+    np.testing.assert_array_equal(np.array(metric["map"]), base_map)
+
+
+def test_waypoint_frame_prob_row_without_map():
+    """The annotation rows compose without a top-down map too (the rgb-only
+    branch of the reference compositor)."""
+    obs = {"rgb": np.zeros((12, 16, 16, 3), np.uint8)}
+    probs = np.zeros((13,), np.float32)
+    probs[-1] = 1.0  # STOP selected -> bold stop gauge, pano=None
+    f = video.waypoint_observations_to_image(
+        obs, {}, pano=None, pano_distribution=probs, distance=0.5,
+    )
+    assert f.ndim == 3 and f.shape[2] == 3

@@ -520,16 +520,27 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
             for i, (obs, _, done, info) in zip(active_ids, stepped):
                 new_obs[i] = obs
                 if len(config.VIDEO_OPTION) > 0:
-                    from vlnce_tpu.utils.video import append_text_to_image, waypoint_observations_to_image
+                    from vlnce_tpu.utils.video import waypoint_observations_to_image
 
                     r_np = np.asarray(out["r"]).reshape(-1)
                     th_np = np.asarray(out["theta"]).reshape(-1)
+                    # full debug composition (reference utils.py:380-543):
+                    # per-pano probability row, stop gauge, offset/distance
+                    # step stats with distribution modes, instruction panel
+                    probs = np.asarray(
+                        jax.nn.softmax(out["pano_stop_logits"][i].astype(jnp.float32))
+                    ).reshape(-1)
                     frame = waypoint_observations_to_image(
                         {"rgb": batch["rgb"][i], "depth": batch["depth"][i]}, info,
                         pano=int(pano_np[i]) if not stop_np[i] else None,
                         r=float(r_np[i]), theta=float(th_np[i]),
+                        pano_distribution=probs,
+                        offset=float(np.asarray(out["action_elements"]["offset"]).reshape(-1)[i]),
+                        offset_mode=float(np.asarray(out["modes"]["offset"]).reshape(-1)[i]),
+                        distance=float(np.asarray(out["action_elements"]["distance"]).reshape(-1)[i]),
+                        distance_mode=float(np.asarray(out["modes"]["distance"]).reshape(-1)[i]),
+                        instruction_text=current_episodes[i].instruction.instruction_text,
                     )
-                    frame = append_text_to_image(frame, current_episodes[i].instruction.instruction_text)
                     rgb_frames[i].append(frame)
                 if done:
                     ep_id = current_episodes[i].episode_id

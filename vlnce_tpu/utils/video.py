@@ -76,6 +76,45 @@ def pano_observations_to_image(observation: Dict, info: Dict, tile_height: int =
     return frame
 
 
+def _label_band(width: int, text: str, bold: bool = False, height: int = 18,
+                font_size: float = 0.45) -> np.ndarray:
+    """A white strip with centered black text (the building block of the
+    reference's per-pano annotation rows, utils.py:217-238,332-377)."""
+    import cv2
+
+    band = np.full((height, width, 3), 255, np.uint8)
+    if text:
+        font = cv2.FONT_HERSHEY_SIMPLEX
+        thick = 2 if bold else 1
+        tw = cv2.getTextSize(text, font, font_size, thick)[0][0]
+        cv2.putText(
+            band, text, (max(0, (width - tw) // 2), height - 5), font,
+            font_size, (0, 0, 0), thick, lineType=cv2.LINE_AA,
+        )
+    return band
+
+
+def _instruction_panel(height: int, width: int, text: str) -> np.ndarray:
+    """White panel with wrapped instruction text (reference
+    utils.py:241-267)."""
+    import textwrap
+
+    import cv2
+
+    panel = np.full((height, width, 3), 255, np.uint8)
+    font, fs, thick = cv2.FONT_HERSHEY_SIMPLEX, 0.45, 1
+    char_w = max(1, cv2.getTextSize(" ", font, fs, thick)[0][0])
+    y = 6
+    for line in textwrap.wrap(text or "", width=max(1, (width - 10) // char_w)):
+        size = cv2.getTextSize(line, font, fs, thick)[0]
+        y += size[1] + 8
+        if y >= height - 2:
+            break
+        cv2.putText(panel, line, (5, y), font, fs, (0, 0, 0), thick,
+                    lineType=cv2.LINE_AA)
+    return panel
+
+
 def waypoint_observations_to_image(
     observation: Dict,
     info: Dict,
@@ -85,9 +124,24 @@ def waypoint_observations_to_image(
     r: Optional[float] = None,
     theta: Optional[float] = None,
     tile_height: int = 112,
+    pano_distribution: Optional[np.ndarray] = None,
+    offset: Optional[float] = None,
+    offset_mode: Optional[float] = None,
+    distance: Optional[float] = None,
+    distance_mode: Optional[float] = None,
+    oracle_r: Optional[float] = None,
+    oracle_theta: Optional[float] = None,
+    instruction_text: Optional[str] = None,
 ) -> np.ndarray:
-    """Pano strip with the selected pano highlighted and the predicted
-    waypoint drawn on the map (reference utils.py:380-543)."""
+    """Waypoint-agent debug frame (reference utils.py:380-543): pano strip
+    with index labels, per-pano probability row (selected pano bold +
+    highlighted), stop-probability gauge, offset/distance step-stats band,
+    predicted (and oracle) waypoints on the map, and an instruction panel.
+
+    `pano_distribution` is the [P+1] pano-stop categorical (STOP last, the
+    WaypointPolicy head layout); stats/gauge/prob rows appear only when
+    their inputs are given, so existing call sites compose the same frame
+    as before."""
     import cv2
 
     frame = pano_observations_to_image(observation, {}, tile_height=tile_height)
@@ -97,6 +151,58 @@ def waypoint_observations_to_image(
     if pano is not None and P:
         x0 = int(pano) * tile_w
         cv2.rectangle(frame, (x0, 0), (x0 + tile_w - 1, tile_height - 1), (255, 140, 0), 3)
+
+    # per-pano annotation rows: index labels + probability labels
+    if P:
+        ids = np.concatenate(
+            [_label_band(tile_w, str(i)) for i in range(P)], axis=1
+        )
+        rows = [frame[:, : tile_w * P], ids]
+        if pano_distribution is not None:
+            probs = np.asarray(pano_distribution).reshape(-1)
+            prob_row = np.concatenate(
+                [
+                    _label_band(
+                        tile_w, f"{probs[i]:.2f}",
+                        bold=(pano is not None and i == int(pano)),
+                    )
+                    for i in range(min(P, len(probs)))
+                ],
+                axis=1,
+            )
+            rows.append(prob_row)
+            # stop gauge: last slot of the pano-stop categorical
+            if len(probs) == P + 1:
+                rows.append(_label_band(
+                    tile_w * P, f"stop: {probs[-1]:.2f}",
+                    bold=pano is None, height=22, font_size=0.5,
+                ))
+        strip = np.concatenate(rows, axis=0)
+        side = frame[:, tile_w * P:]
+        if side.shape[1]:
+            pad = np.full((strip.shape[0] - side.shape[0], side.shape[1], 3), 255, np.uint8)
+            side = np.concatenate([side, pad], axis=0)
+            strip = np.concatenate([strip, side], axis=1)
+        frame = strip
+
+    # step-stats band (reference add_step_stats_on_img, utils.py:269-330)
+    stats = []
+    if offset is not None:
+        stats.append(
+            f"ofst/mode: {offset:.2f}/{offset_mode:.2f}" if offset_mode is not None
+            else f"ofst: {offset:.2f}"
+        )
+    if distance is not None:
+        stats.append(
+            f"dist/mode: {distance:.2f}/{distance_mode:.2f}" if distance_mode is not None
+            else f"dist: {distance:.2f}"
+        )
+    if stats:
+        frame = np.concatenate(
+            [_label_band(frame.shape[1], "  ".join(stats), height=26, font_size=0.55), frame],
+            axis=0,
+        )
+
     if "top_down_map_vlnce" in (info or {}):
         from vlnce_tpu.utils import maps as map_utils
         from vlnce_tpu.tasks.geometry import rtheta_to_global_coordinates
@@ -117,10 +223,30 @@ def waypoint_observations_to_image(
             map_utils.draw_waypoint_prediction(
                 metric["map"], target, metric["meters_per_px"], metric["world_size"]
             )
+        if (agent_position is not None and oracle_r is not None
+                and oracle_theta is not None):
+            if not isinstance(metric["map"], np.ndarray) or metric is info["top_down_map_vlnce"]:
+                metric = dict(metric, map=np.array(metric["map"]))
+            oracle_target = rtheta_to_global_coordinates(
+                agent_position, agent_heading or 0.0, oracle_r, oracle_theta,
+                dimensionality=3,
+            )
+            map_utils.draw_oracle_waypoint(
+                metric["map"], oracle_target, metric["meters_per_px"], metric["world_size"]
+            )
         m = map_utils.colorize_topdown_metric(metric)
         mh = frame.shape[0]
         m = cv2.resize(m, (int(m.shape[1] * mh / m.shape[0]), mh))
-        frame = np.concatenate([frame, m], axis=1)
+        if instruction_text:
+            # instruction panel between the pano strip and the map
+            # (reference utils.py:528-541)
+            panel_w = max(60, frame.shape[1] // 4)
+            frame = np.concatenate(
+                [frame, _instruction_panel(mh, panel_w, instruction_text), m],
+                axis=1,
+            )
+        else:
+            frame = np.concatenate([frame, m], axis=1)
     return frame
 
 
