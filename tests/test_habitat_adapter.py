@@ -54,26 +54,55 @@ class _Agent:
 
 
 class _PathFinder:
+    """Navmesh fake mirroring recorded real-habitat_sim edge behavior:
+
+    - walkable strip |x| <= 10 ("the mesh"); a narrow snap margin beyond it
+    - ``snap_point`` on a query with no navmesh polygon inside the search
+      box returns ``[nan, nan, nan]`` (real PathFinder.snap_point does NOT
+      clamp — it NaNs; the clamp-like behavior only holds near the mesh)
+    - ``find_path`` to a goal on a disconnected island leaves
+      ``geodesic_distance`` at ``inf`` and returns False (habitat-lab's
+      ``geodesic_distance`` then reports inf, reference measures rely on it)
+    """
+
+    SNAP_MARGIN = 2.0  # snap succeeds within this distance of the mesh
+    ISLAND_X = 100.0  # x beyond this is a disconnected navmesh island
+
+    def __init__(self, calls=None):
+        self.calls = calls if calls is not None else []
+
     def is_navigable(self, p):
         return bool(abs(float(p[0])) <= 10.0)
 
     def snap_point(self, p):
+        self.calls.append("snap_point")
         p = np.asarray(p, np.float32).copy()
+        if abs(float(p[0])) > 10.0 + self.SNAP_MARGIN:
+            return np.full(3, np.nan, np.float32)  # off-mesh: real sim NaNs
         p[0] = np.clip(p[0], -10.0, 10.0)
         return p
 
+    def _geo(self, start, end):
+        a, b = np.asarray(start, np.float64), np.asarray(end, np.float64)
+        # disconnected component -> inf, like Recast with no path
+        if (abs(a[0]) > self.ISLAND_X) != (abs(b[0]) > self.ISLAND_X):
+            return float("inf")
+        return float(np.linalg.norm(b - a))
+
     def find_path(self, path):
         if hasattr(path, "requested_ends"):  # multi-goal
-            start = np.asarray(path.requested_start)
             path.geodesic_distance = float(
-                min(np.linalg.norm(np.asarray(e) - start) for e in path.requested_ends)
+                min(self._geo(path.requested_start, e) for e in path.requested_ends)
             )
         else:
             a = np.asarray(path.requested_start)
             b = np.asarray(path.requested_end)
+            path.geodesic_distance = self._geo(a, b)
+            if math.isinf(path.geodesic_distance):
+                path.points = []
+                return False
             path.points = [a, (a + b) / 2.0, b]
-            path.geodesic_distance = float(np.linalg.norm(b - a))
-        return True
+        return not math.isinf(path.geodesic_distance)
 
     def get_random_navigable_point(self):
         return np.array([1.0, 0.0, 2.0], np.float32)
@@ -85,7 +114,8 @@ class _FakeSim:
     def __init__(self, configuration):
         self.config = configuration
         self.agents = [_Agent()]
-        self.pathfinder = _PathFinder()
+        self.calls = []  # pathfinder/filter call order, for slide-order tests
+        self.pathfinder = _PathFinder(self.calls)
         self.previous_step_collided = False
         self._specs = configuration.agents[0].sensor_specifications
         self._closed = False
@@ -119,18 +149,36 @@ class _FakeSim:
             )
             self.previous_step_collided = False
         elif action_name in ("turn_left", "turn_right"):
+            # real habitat_sim COMPOSES the turn with the current rotation
+            # (turn_left = +angle about +Y); past a cumulative half-turn the
+            # scalar part w goes negative — q and -q are the same rotation
+            # and heading extraction must not care
             sign = 1.0 if action_name == "turn_left" else -1.0
             turn = self.config.agents[0].action_space[action_name].actuation.amount
             half = math.radians(sign * turn) / 2.0
-            agent._state.rotation = _Quat(0.0, math.sin(half), 0.0, math.cos(half))
+            q = agent._state.rotation
+            s, c = math.sin(half), math.cos(half)
+            # y-axis quaternion product (x=z=0 for both factors)
+            agent._state.rotation = _Quat(
+                0.0, c * q.y + s * q.w, 0.0, c * q.w - s * q.y
+            )
         return self._render()
 
     def get_sensor_observations(self):
         return self._render()
 
     def step_filter(self, start, end):
+        """habitat-lab Simulator.step_filter: ``try_step`` slides along the
+        wall tangent (Recast moveAlongSurface — tangential motion is KEPT,
+        only the normal component is removed) when allow_sliding, else
+        ``try_step_no_sliding`` returns the START on any contact."""
+        self.calls.append("step_filter")
+        start = np.asarray(start, np.float32)
         out = np.asarray(end, np.float32).copy()
         out[0] = np.clip(out[0], -10.0, 10.0)  # wall at |x| = 10
+        collided = not np.allclose(out, np.asarray(end, np.float32))
+        if collided and not self.config.backend.allow_sliding:
+            return start.copy()
         return out
 
     def seed(self, seed):
@@ -217,16 +265,19 @@ def adapter_cls(monkeypatch):
     importlib.reload(ha)
 
 
-def _sim_config():
+def _sim_config(task_yaml="vlnce_tpu/tasks/config/vlnce_task.yaml", **overrides):
     from vlnce_tpu.config import get_config
 
-    cfg = get_config(opts=[
-        "BASE_TASK_CONFIG_PATH", "vlnce_tpu/tasks/config/vlnce_task.yaml",
+    opts = [
+        "BASE_TASK_CONFIG_PATH", task_yaml,
         "TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT", 8,
         "TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH", 8,
         "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT", 8,
         "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH", 8,
-    ])
+    ]
+    for k, v in overrides.items():
+        opts += [f"TASK_CONFIG.SIMULATOR.{k}", v]
+    cfg = get_config(opts=opts)
     return cfg.TASK_CONFIG.SIMULATOR
 
 
@@ -294,3 +345,176 @@ def test_adapter_registers_in_registry(adapter_cls):
     from vlnce_tpu.registry import registry
 
     assert registry.get_simulator("HabitatSim-v0") is adapter_cls
+
+
+# ---------------------------------------------------------------------------
+# coordinate / quaternion convention edges (VERDICT r2 #9)
+#
+# These pin the behavioral edges real habitat_sim exhibits so that the first
+# run against the real C++ sim is a validation, not a debug session:
+# heading wrap past pi (negative-w quaternions), q/-q equivalence, NaN from
+# off-mesh snap_point, inf geodesics to disconnected islands, and the
+# slide-vs-revert (and filter-before-snap) order of GoTowardPoint
+# (reference habitat_extensions/actions.py:37-55,
+# shortest_path_follower.py:115-172).
+# ---------------------------------------------------------------------------
+
+
+def test_heading_accumulates_and_wraps(adapter_cls):
+    """turn_left composes +TURN_ANGLE about +Y per step. Past a cumulative
+    half-turn the quaternion's w goes negative; heading_from_quaternion must
+    keep returning the wrapped angle in [0, 2pi), and must agree on q and -q
+    (the same rotation)."""
+    from vlnce_tpu.tasks.geometry import heading_from_quaternion
+
+    sim = adapter_cls(_sim_config(TURN_ANGLE=30))
+    sim.reconfigure("mp3d/scene1.glb")
+    sim.reset()
+    sim.set_agent_state([0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0])
+
+    turn = math.radians(30.0)
+    for i in range(1, 13):  # through 360 degrees
+        sim.step(2)  # TURN_LEFT
+        q = sim.get_agent_state().rotation
+        expected = (i * turn) % (2 * math.pi)
+        got = heading_from_quaternion(q)
+        assert abs(((got - expected + math.pi) % (2 * math.pi)) - math.pi) < 1e-5, (i, got, expected)
+        if math.pi < i * turn < 2 * math.pi:
+            assert q[3] < 0.0, (i, q)  # the negative-w regime actually hit
+        # q and -q are the same rotation
+        assert abs(heading_from_quaternion(-np.asarray(q)) - got) < 1e-6
+    # full circle closes back to identity heading
+    assert min(got, 2 * math.pi - got) < 1e-5
+    sim.close()
+
+
+def test_turn_right_is_negative_y_rotation(adapter_cls):
+    """turn_right from identity must DECREASE heading (mod 2pi) — the sign
+    convention that silently flips entire trajectories if wrong."""
+    from vlnce_tpu.tasks.geometry import heading_from_quaternion
+
+    sim = adapter_cls(_sim_config(TURN_ANGLE=15))
+    sim.reconfigure("mp3d/scene1.glb")
+    sim.reset()
+    sim.set_agent_state([0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0])
+    sim.step(3)  # TURN_RIGHT
+    got = heading_from_quaternion(sim.get_agent_state().rotation)
+    assert abs(got - (2 * math.pi - math.radians(15.0))) < 1e-5, got
+    sim.close()
+
+
+def test_snap_point_nans_off_mesh(adapter_cls):
+    """Real PathFinder.snap_point does not clamp arbitrarily far queries —
+    with no navmesh polygon in the search box it returns [nan,nan,nan].
+    Near-mesh queries snap onto the boundary exactly."""
+    sim = adapter_cls(_sim_config())
+    sim.reconfigure("mp3d/scene1.glb")
+    sim.reset()
+    # boundary snap: just outside the mesh but within the search margin
+    np.testing.assert_allclose(sim.snap_point([11.5, 0.0, 3.0]), [10.0, 0.0, 3.0])
+    # off-mesh: NaN, not a clamp
+    assert np.all(np.isnan(sim.snap_point([50.0, 0.0, 3.0])))
+    sim.close()
+
+
+def test_geodesic_distance_inf_to_disconnected_island(adapter_cls):
+    """find_path to a goal on a disconnected navmesh component leaves
+    geodesic_distance at inf (and yields no path points); the adapter must
+    hand that inf through, not raise or zero it."""
+    sim = adapter_cls(_sim_config())
+    sim.reconfigure("mp3d/scene1.glb")
+    sim.reset()
+    assert math.isinf(sim.geodesic_distance([0.0, 0.0, 0.0], [200.0, 0.0, 0.0]))
+    # multi-goal: unreachable ends are skipped in the min
+    d = sim.geodesic_distance([0.0, 0.0, 0.0], [[200.0, 0.0, 0.0], [0.0, 0.0, 2.0]])
+    assert abs(d - 2.0) < 1e-6
+    assert sim.get_straight_shortest_path_points([0.0, 0.0, 0.0], [200.0, 0.0, 0.0]) == []
+    sim.close()
+
+
+def _go_toward_point(sim, rotate_agent=False):
+    from vlnce_tpu.tasks.actions import GoTowardPoint
+
+    return GoTowardPoint(
+        config=types.SimpleNamespace(rotate_agent=rotate_agent), sim=sim, task=None
+    )
+
+
+def test_step_filter_slides_with_sliding_enabled(adapter_cls):
+    """try_step (ALLOW_SLIDING: True, r2r task) keeps the tangential motion
+    component when the normal one hits a wall — a diagonal move into the
+    |x|=10 wall still advances in z."""
+    sim = adapter_cls(_sim_config())  # vlnce_task.yaml: ALLOW_SLIDING true
+    sim.reconfigure("mp3d/scene1.glb")
+    sim.reset()
+    out = sim.step_filter([9.0, 0.0, 0.0], [15.0, 0.0, -4.0])
+    np.testing.assert_allclose(out, [10.0, 0.0, -4.0])
+    sim.close()
+
+
+def test_step_filter_reverts_without_sliding(adapter_cls):
+    """try_step_no_sliding (ALLOW_SLIDING: False, waypoint task) returns the
+    START pose on any contact — the tangential component is lost too."""
+    sim = adapter_cls(
+        _sim_config("vlnce_tpu/tasks/config/vlnce_waypoint_task.yaml")
+    )
+    sim.reconfigure("mp3d/scene1.glb")
+    sim.reset()
+    out = sim.step_filter([9.0, 0.0, 0.0], [15.0, 0.0, -4.0])
+    np.testing.assert_allclose(out, [9.0, 0.0, 0.0])
+    # a contact-free move passes through unchanged
+    np.testing.assert_allclose(
+        sim.step_filter([0.0, 0.0, 0.0], [1.0, 0.0, -1.0]), [1.0, 0.0, -1.0]
+    )
+    sim.close()
+
+
+def test_go_toward_point_filters_before_snapping(adapter_cls):
+    """GoTowardPoint's sim-call order is step_filter THEN snap_point
+    (reference actions.py:37-49) — snapping first would teleport through
+    walls the filter is there to catch."""
+    sim = adapter_cls(_sim_config())
+    sim.reconfigure("mp3d/scene1.glb")
+    sim.reset()
+    sim.set_agent_state([0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0])
+    sim._sim.calls.clear()
+    action = _go_toward_point(sim)
+    action.step(r=2.0, theta=0.0)
+    order = [c for c in sim._sim.calls if c in ("step_filter", "snap_point")]
+    assert order == ["step_filter", "snap_point"], order
+    # straight ahead (theta=0, heading 0) is -z in habitat's frame
+    np.testing.assert_allclose(
+        sim.get_agent_state().position, [0.0, 0.0, -2.0], atol=1e-5
+    )
+    sim.close()
+
+
+def test_go_toward_point_keeps_pose_when_snap_nans(adapter_cls):
+    """If the filtered endpoint snaps to NaN (off-mesh), the agent must stay
+    exactly where it was — the double isnan fallback of reference
+    actions.py:39-50."""
+    sim = adapter_cls(_sim_config())
+    sim.reconfigure("mp3d/scene1.glb")
+    sim.reset()
+    sim.set_agent_state([9.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0])
+
+    # stage 1: a filtered endpoint that is not even navigable never reaches
+    # the snap — first fallback keeps the pose
+    orig_filter = sim._sim.step_filter
+    sim._sim.step_filter = lambda s, e: np.array([50.0, 0.0, 0.0], np.float32)
+    try:
+        _go_toward_point(sim).step(r=4.0, theta=math.pi / 2)
+        np.testing.assert_allclose(sim.get_agent_state().position, [9.0, 0.0, 0.0])
+    finally:
+        sim._sim.step_filter = orig_filter
+
+    # stage 2: filter passes a navigable point but the SNAP NaNs (real sim
+    # can do this right at a navmesh seam) — second fallback keeps the pose
+    orig_snap = sim._sim.pathfinder.snap_point
+    sim._sim.pathfinder.snap_point = lambda p: np.full(3, np.nan, np.float32)
+    try:
+        _go_toward_point(sim).step(r=2.0, theta=0.0)
+        np.testing.assert_allclose(sim.get_agent_state().position, [9.0, 0.0, 0.0])
+    finally:
+        sim._sim.pathfinder.snap_point = orig_snap
+    sim.close()
