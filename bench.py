@@ -389,6 +389,10 @@ def bench_dagger_collect() -> None:
     # steps in the marginal chunk = second chunk's recorded steps
     _, steps_s = run(B)
     steps = steps_l - steps_s
+    # relay timing noise can swallow the marginal; when it does, report the
+    # conservative absolute throughput instead of a garbage division
+    if per_chunk < 0.2 * t_l:
+        steps, per_chunk = steps_l, t_l
     sps = steps / max(per_chunk, 1e-9)
     print(
         json.dumps(
@@ -419,7 +423,10 @@ def bench_dagger_collect() -> None:
     t_l, bank_l = run_resident(2 * B)
     _, bank_s = run_resident(B)
     steps = bank_l.num_steps - bank_s.num_steps
-    res_sps = steps / max(t_l - t_s, 1e-9)
+    dt = t_l - t_s
+    if dt < 0.2 * t_l:  # marginal swallowed by relay noise: absolute fallback
+        steps, dt = bank_l.num_steps, t_l
+    res_sps = steps / max(dt, 1e-9)
     print(
         json.dumps(
             {
@@ -465,7 +472,10 @@ def bench_dagger_collect() -> None:
     t_s, _ = run_fused(B)
     t_l, steps_l = run_fused(2 * B)
     _, steps_s = run_fused(B)
-    fused_sps = (steps_l - steps_s) / max(t_l - t_s, 1e-9)
+    steps, dt = steps_l - steps_s, t_l - t_s
+    if dt < 0.2 * t_l:  # marginal swallowed by relay noise: absolute fallback
+        steps, dt = steps_l, t_l
+    fused_sps = steps / max(dt, 1e-9)
     print(
         json.dumps(
             {
@@ -539,6 +549,80 @@ def bench_recollect() -> None:
                 "value": round(sps, 2),
                 "unit": "env-steps/s",
                 "note": "GT re-simulation as device render scans (TPU.ON_DEVICE_RECOLLECT)",
+            }
+        ),
+        file=sys.stderr,
+    )
+
+    # -- resident variant: rendered pixels never leave HBM --------------------
+    # (TPU.RECOLLECT_RESIDENT) render_gt_batch_resident emits the exact
+    # collate payload on device and the jitted IL train step consumes it
+    # directly — only the loss scalar crosses the wire per batch.
+    import jax.numpy as jnp
+    import optax
+
+    from gymnasium import spaces as gspaces
+
+    from vlnce_tpu.models.cma_policy import CMAPolicy
+    from vlnce_tpu.parallel.il_step import build_il_train_step
+    from vlnce_tpu.trainers.device_recollect import render_gt_batch_resident
+
+    space = gspaces.Dict(
+        {
+            "rgb": gspaces.Box(0, 255, (RGB_HW, RGB_HW, 3), np.uint8),
+            "depth": gspaces.Box(0, 1, (DEPTH_HW, DEPTH_HW, 1), np.float32),
+            "instruction": gspaces.Box(0, 10000, (INSTR_LEN,), np.int32),
+            "progress": gspaces.Box(0, 1, (1,), np.float32),
+        }
+    )
+    mcfg = get_config(
+        opts=[
+            "BASE_TASK_CONFIG_PATH", "vlnce_tpu/tasks/config/vlnce_task.yaml",
+            "TASK_CONFIG.DATASET.TYPE", "Synthetic-VLN-v0",
+            "TASK_CONFIG.DATASET.NUM_EPISODES", N_EPS,
+            "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", False,
+            "MODEL.INSTRUCTION_ENCODER.bidirectional", True,
+            "MODEL.RGB_ENCODER.trainable", True,
+            "MODEL.DEPTH_ENCODER.trainable", True,
+        ]
+    )
+    policy = CMAPolicy.from_config(mcfg, space, gspaces.Discrete(4))
+    policy.init_params(jax.random.PRNGKey(0), batch_size=2)
+    optimizer = optax.adam(2.5e-4)
+    train_step = build_il_train_step(
+        policy.module, optimizer, policy.num_recurrent_layers, policy.hidden_size
+    )
+
+    eps_batch = episodes[:8]
+
+    def run_resident():
+        t0 = time.perf_counter()
+        obs, prev, masks, corrected, weights = render_gt_batch_resident(
+            mcfg, eps_batch, trajectories, 1.0
+        )
+        params = jax.tree_util.tree_map(lambda x: x + 0, policy.params)
+        opt = optimizer.init(params)
+        T, Nb = corrected.shape
+        obs_tn = {k: jnp.asarray(v).reshape((T, Nb) + v.shape[1:]) for k, v in obs.items()}
+        params, opt, loss, _, _ = train_step(
+            params, opt, obs_tn,
+            jnp.asarray(prev).reshape(T, Nb), jnp.asarray(masks).reshape(T, Nb),
+            jnp.asarray(corrected), jnp.asarray(weights),
+        )
+        float(loss)  # readback barrier
+        return time.perf_counter() - t0, int(sum(len(trajectories[e.episode_id]) for e in eps_batch))
+
+    run_resident()  # compile
+    t1, n1 = run_resident()
+    t2, _ = run_resident()
+    res_sps = n1 / max(min(t1, t2), 1e-9)
+    print(
+        json.dumps(
+            {
+                "metric": "resident_recollect_render_train_env_steps_per_sec_per_chip",
+                "value": round(res_sps, 2),
+                "unit": "env-steps/s",
+                "note": "device render -> jitted IL train step, pixels stay in HBM (TPU.RECOLLECT_RESIDENT); per GT env step incl. the full-pixel training update",
             }
         ),
         file=sys.stderr,

@@ -93,6 +93,34 @@ def _gather_impl(
     )
 
 
+@partial(jax.jit, static_argnames=("pad_n",))
+def _assemble_rows(row_chunks, prev_chunks, oracle_chunks, *, pad_n: int):
+    """Concatenate per-chunk row blocks + the padding tail in ONE dispatch.
+
+    Eager per-chunk jnp.concatenate/jnp.ones calls each pay a full dispatch
+    round trip on a remote-attached chip (~0.3-2s apiece — the same rule
+    that mandates one-device_put uploads); fusing assembly into a single
+    jitted call keeps bank construction off the wire. jit's own cache keys
+    on the chunk-shape tree, so repeated DAgger iterations reuse the
+    compiled program."""
+    first = row_chunks[0]
+    data = {
+        k: jnp.concatenate(
+            [c[k] for c in row_chunks]
+            + [jnp.ones((pad_n,) + first[k].shape[1:], first[k].dtype)],
+            axis=0,
+        )
+        for k in first
+    }
+    prev = jnp.concatenate(
+        list(prev_chunks) + [jnp.zeros((pad_n,), jnp.int32)], axis=0
+    )
+    oracle = jnp.concatenate(
+        list(oracle_chunks) + [jnp.zeros((pad_n,), jnp.int32)], axis=0
+    )
+    return data, prev, oracle
+
+
 def _round_up(n: int, quantum: int) -> int:
     return -(-n // quantum) * quantum
 
@@ -172,19 +200,9 @@ class DeviceTrajectoryBank:
         n_rows = sum(int(c[keys[0]].shape[0]) for c in row_chunks)
         target = _round_up(n_rows + 1, ROW_QUANTUM)  # >=1 padding row (trash)
         pad_n = target - n_rows
-        data = {
-            k: jnp.concatenate(
-                [c[k] for c in row_chunks]
-                + [jnp.ones((pad_n,) + row_chunks[0][k].shape[1:], row_chunks[0][k].dtype)],
-                axis=0,
-            )
-            for k in keys
-        }
-        prev = jnp.concatenate(
-            list(prev_chunks) + [jnp.zeros((pad_n,), jnp.int32)], axis=0
-        )
-        oracle = jnp.concatenate(
-            list(oracle_chunks) + [jnp.zeros((pad_n,), jnp.int32)], axis=0
+        data, prev, oracle = _assemble_rows(
+            tuple(row_chunks), tuple(prev_chunks), tuple(oracle_chunks),
+            pad_n=pad_n,
         )
         # chunk tails may carry bucket-padding rows: offsets are cumulative
         # over the CHUNK row counts, with episode rows packed at each front
@@ -281,7 +299,7 @@ class DeviceTrajectoryBank:
             self.data, self.prev, self.oracle, self.instruction,
             self._offsets_d, self._lengths_d,
             np.int32(self.trash_index),
-            jnp.asarray(np.asarray(episode_ids, np.int32)),
+            np.asarray(episode_ids, np.int32),  # ships with the dispatch
             np.float32(coef),
             T_b=T_b, N=N,
             feat_shapes=tuple(sorted(

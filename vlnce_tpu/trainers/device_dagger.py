@@ -296,7 +296,10 @@ def _build_pack(n_seg: int, T_cut: int, M: int, keys: tuple):
         for k in keys:
             seq = jnp.concatenate([p[k] for p in pieces], axis=0)[:T_cut]
             rows = seq.reshape((seq.shape[0] * seq.shape[1],) + seq.shape[2:])
-            out[k] = jnp.take(rows, sel, axis=0)
+            g = jnp.take(rows, sel, axis=0)
+            if k in ("prev_action", "oracle"):
+                g = g.astype(jnp.int32)  # in-jit: no eager astype dispatch
+            out[k] = g
         return out
 
     return jax.jit(pack)
@@ -339,10 +342,12 @@ def collect_episodes_resident(
             while len(_PACK_CACHE) >= _PACK_CACHE_MAX:
                 _PACK_CACHE.pop(next(iter(_PACK_CACHE)))
             _PACK_CACHE[pack_key] = _build_pack(len(pieces), T_cut, M, keys)
-        packed = _PACK_CACHE[pack_key](tuple(pieces), jnp.asarray(sel))
+        # sel ships with the dispatch (a separate eager jnp.asarray would be
+        # its own round trip on a remote-attached chip)
+        packed = _PACK_CACHE[pack_key](tuple(pieces), sel)
 
-        prev_chunks.append(packed.pop("prev_action").astype(jnp.int32))
-        oracle_chunks.append(packed.pop("oracle").astype(jnp.int32))
+        prev_chunks.append(packed.pop("prev_action"))
+        oracle_chunks.append(packed.pop("oracle"))
         row_chunks.append(packed)
         instr_chunks.append(arrays["instruction"][:real])
         all_lengths.extend(int(x) for x in lengths)
