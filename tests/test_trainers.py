@@ -469,8 +469,8 @@ def test_dagger_resident_training_matches_store_losses(tmp_path):
         rec = []
         orig = trainer._update_agent
 
-        def wrapped(*a, _orig=orig, _rec=rec):
-            out = _orig(*a)
+        def wrapped(*a, _orig=orig, _rec=rec, **kw):
+            out = _orig(*a, **kw)
             _rec.append(out)
             return out
 

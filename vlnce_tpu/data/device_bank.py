@@ -48,15 +48,20 @@ ROW_QUANTUM = 2048
 EPISODE_QUANTUM = 64
 
 
-@partial(jax.jit, static_argnames=("T_b", "N", "feat_shapes", "instr_uuid"))
+@partial(jax.jit, static_argnames=("T_b", "N", "feat_shapes", "instr_uuid", "time_major"))
 def _gather_impl(
     data, prev, oracle, instruction, offsets, lengths, trash, idx, coef,
     *, T_b: int, N: int, feat_shapes: tuple, instr_uuid: str,
+    time_major: bool = False,
 ):
     """One training batch from bank rows: the exact collate_episodes payload
     (obs [T*N, ...], prev [T*N,1], masks [T*N,1], corrected [T,N],
-    weights [T,N]). A single module-level jit — its cache keys on shapes,
-    never on bank identity, so rebuilt banks reuse compiled gathers."""
+    weights [T,N]) — or, with time_major, the train step's native layout
+    (obs [T,N,...], prev/masks [T,N]; the reshape is free inside the jit,
+    while the flat payload costs the consumer one eager reshape dispatch
+    per leaf on a remote-attached chip). A single module-level jit — its
+    cache keys on shapes, never on bank identity, so rebuilt banks reuse
+    compiled gathers."""
     shapes = dict(feat_shapes)
     off = jnp.take(offsets, idx)
     ln = jnp.take(lengths, idx)
@@ -64,12 +69,13 @@ def _gather_impl(
     valid = t < ln[None, :]
     row = jnp.where(valid, off[None, :] + t, trash)
     flat = row.reshape(-1)
+    lead = (T_b, N) if time_major else (T_b * N,)
     obs = {}
     for k, v in data.items():
         g = jnp.take(v, flat, axis=0)
         if g.dtype == jnp.float16:
             g = g.astype(jnp.float32)  # f16 was only the storage dtype
-        obs[k] = g.reshape((T_b * N,) + shapes[k])
+        obs[k] = g.reshape(lead + shapes[k])
     corrected = jnp.take(oracle, flat).reshape(T_b, N)
     prev_b = jnp.take(prev, flat).reshape(T_b, N)
     # inflection weights on device (data/collate.py:30-37 semantics: coef at
@@ -83,7 +89,9 @@ def _gather_impl(
         jnp.take(instruction, idx, axis=0)[None],
         (T_b, N) + instruction.shape[1:],
     )
-    obs[instr_uuid] = instr.reshape((T_b * N,) + instruction.shape[1:])
+    obs[instr_uuid] = instr.reshape(lead + instruction.shape[1:])
+    if time_major:
+        return obs, prev_b, masks, corrected, weights
     return (
         obs,
         prev_b.reshape(-1, 1),
@@ -288,9 +296,11 @@ class DeviceTrajectoryBank:
 
     # ---------------------------------------------------------------- gather
     def gather_batch(self, episode_ids: List[int], coef: float,
-                     length_quantum: int = LENGTH_QUANTUM) -> Tuple:
+                     length_quantum: int = LENGTH_QUANTUM,
+                     time_major: bool = False) -> Tuple:
         """One training batch, assembled on device: the exact
-        collate_episodes payload for the given episodes."""
+        collate_episodes payload for the given episodes (time_major: the
+        train step's [T, N, ...] layout instead, same values)."""
         N = len(episode_ids)
         T_b = int(self.lengths[np.asarray(episode_ids)].max())
         if length_quantum > 1:
@@ -306,6 +316,7 @@ class DeviceTrajectoryBank:
                 (k, tuple(v)) for k, v in self.feat_shapes.items()
             )),
             instr_uuid=self.instr_uuid,
+            time_major=time_major,
         )
 
     # --------------------------------------------------------------- archive
@@ -352,6 +363,7 @@ class ResidentBatchIterator:
         inflection_weight_coef: float = 3.2,
         seed: int = 0,
         length_quantum: int = LENGTH_QUANTUM,
+        time_major: bool = False,
     ):
         self.bank = bank
         self.batch_size = batch_size
@@ -359,6 +371,7 @@ class ResidentBatchIterator:
         self.coef = inflection_weight_coef if use_iw else 1.0
         self._rng = random.Random(seed)
         self.length_quantum = length_quantum
+        self.time_major = time_major
 
     def __len__(self) -> int:
         return len(self.bank) // self.batch_size
@@ -371,6 +384,9 @@ class ResidentBatchIterator:
         ):
             batch.append(k)
             if len(batch) == self.batch_size:
-                yield self.bank.gather_batch(batch, self.coef, self.length_quantum)
+                yield self.bank.gather_batch(
+                    batch, self.coef, self.length_quantum,
+                    time_major=self.time_major,
+                )
                 batch = []
         # drop_last semantics, matching the store iterator

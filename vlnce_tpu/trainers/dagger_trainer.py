@@ -109,7 +109,8 @@ class DaggerTrainer(BaseVLNCETrainer):
                     for batch in tqdm.tqdm(diter, total=len(diter), leave=False, dynamic_ncols=True):
                         observations, prev_actions, masks, corrected, weights = batch
                         loss, action_loss, aux_loss = self._update_agent(
-                            observations, prev_actions, masks, corrected, weights
+                            observations, prev_actions, masks, corrected, weights,
+                            time_major=resident,
                         )
                         writer.add_scalar(f"train_loss_iter_{dagger_it}", loss, step_id)
                         writer.add_scalar(f"train_action_loss_iter_{dagger_it}", action_loss, step_id)
@@ -190,6 +191,9 @@ class DaggerTrainer(BaseVLNCETrainer):
             use_iw=config.IL.use_iw,
             inflection_weight_coef=config.IL.inflection_weight_coef,
             seed=seed,
+            # batches arrive in the train step's [T, N, ...] layout straight
+            # from the gather jit — no per-leaf eager reshape dispatches
+            time_major=True,
         )
 
     # ------------------------------------------------------- jitted update
@@ -205,22 +209,31 @@ class DaggerTrainer(BaseVLNCETrainer):
             mesh=self.mesh,
         )
 
-    def _update_agent(self, observations, prev_actions, masks, corrected, weights) -> Tuple[float, float, float]:
+    def _update_agent(self, observations, prev_actions, masks, corrected, weights,
+                      time_major: bool = False) -> Tuple[float, float, float]:
         from vlnce_tpu.parallel.il_step import prepare_global_batch
 
         if self._train_step is None:
             self._train_step = self._build_train_step()
         T, N = corrected.shape
-        obs_dev = apply_obs_transforms_batch(
-            {k: jnp.asarray(v) for k, v in observations.items()}, self.obs_transforms
-        )
-        batch = (
-            {k: v.reshape((T, N) + v.shape[1:]) for k, v in obs_dev.items()},
-            jnp.asarray(prev_actions).reshape(T, N),
-            jnp.asarray(masks).reshape(T, N),
-            jnp.asarray(corrected),
-            jnp.asarray(weights),
-        )
+        if time_major:
+            # device-resident batch already in [T, N, ...] layout with
+            # transforms applied at collection (device_dagger scan body) —
+            # re-running them would only add eager dispatches (they are
+            # idempotent on stored/collected batches: crops match, features
+            # pass through)
+            batch = (observations, prev_actions, masks, corrected, weights)
+        else:
+            obs_dev = apply_obs_transforms_batch(
+                {k: jnp.asarray(v) for k, v in observations.items()}, self.obs_transforms
+            )
+            batch = (
+                {k: v.reshape((T, N) + v.shape[1:]) for k, v in obs_dev.items()},
+                jnp.asarray(prev_actions).reshape(T, N),
+                jnp.asarray(masks).reshape(T, N),
+                jnp.asarray(corrected),
+                jnp.asarray(weights),
+            )
         # env padding + (under multi-process JAX) cross-process global-array
         # assembly — each process feeds its local data shard, the step runs
         # over the global mesh (parallel/il_step.py:prepare_global_batch)
