@@ -382,10 +382,11 @@ def bench_dagger_collect() -> None:
         steps = sum(len(r[1]) for r in res)
         return time.perf_counter() - t0, steps
 
-    run(B)  # compile
+    run(B)  # compile (B shapes)
+    run(2 * B)  # compile (2B-only shapes — 2nd chunk variants)
     t_s, _ = run(B)
     t_l, steps_l = run(2 * B)
-    per_chunk = t_l - t_s  # marginal chunk (compile + first-chunk cached)
+    per_chunk = t_l - t_s  # marginal chunk, all compiles warmed
     # steps in the marginal chunk = second chunk's recorded steps
     _, steps_s = run(B)
     steps = steps_l - steps_s
@@ -418,7 +419,8 @@ def bench_dagger_collect() -> None:
         float(np.asarray(bank.lengths).sum())
         return time.perf_counter() - t0, bank
 
-    run_resident(B)  # compile
+    run_resident(B)  # compile (B shapes)
+    run_resident(2 * B)  # compile (2-chunk assemble/pack variants)
     t_s, _ = run_resident(B)
     t_l, bank_l = run_resident(2 * B)
     _, bank_s = run_resident(B)
@@ -472,7 +474,8 @@ def bench_dagger_collect() -> None:
         float(loss)  # readback barrier
         return time.perf_counter() - t0, bank.num_steps
 
-    run_fused(B)  # compile
+    run_fused(B)  # compile (B shapes)
+    run_fused(2 * B)  # compile (2B-only T buckets / 2-chunk variants)
     t_s, _ = run_fused(B)
     t_l, steps_l = run_fused(2 * B)
     _, steps_s = run_fused(B)

@@ -66,6 +66,7 @@ def _host_sim(scene_id="synth_scene_0"):
     return sim
 
 
+@pytest.mark.slow  # >25s compile-heavy; full tier: pytest -m ""
 def test_waypoint_step_parity():
     """Device GO_TOWARD_POINT matches the host task action: blocked targets,
     snapping, and the rotate-toward-target heading."""
@@ -162,6 +163,7 @@ def test_waypoint_reward_parity():
     env.close()
 
 
+@pytest.mark.slow  # >25s compile-heavy; full tier: pytest -m ""
 def test_on_device_ppo_training(tmp_path):
     """Full DD-PPO update with TPU.ON_DEVICE_ROLLOUT: no env pool, rollout
     collected by the device scan, params move, checkpoint written."""
@@ -227,6 +229,7 @@ def test_gae_parity_with_storage():
         np.testing.assert_allclose(dev, storage.returns[:T], atol=1e-5)
 
 
+@pytest.mark.slow  # >25s compile-heavy; full tier: pytest -m ""
 def test_collect_device_batch(tmp_path):
     """collect_device produces a finite, correctly-shaped device PPO batch
     and update_device consumes it (params move)."""
@@ -281,6 +284,7 @@ def test_collect_device_batch(tmp_path):
     assert np.isfinite(np.asarray(batch2["returns"])).all()
 
 
+@pytest.mark.slow  # >25s compile-heavy; full tier: pytest -m ""
 def test_collect_device_sharded_matches_single(tmp_path):
     """Rollout collection pjit'd over a 2-device data mesh produces the same
     batch as the single-device collect (env slots are independent; only the

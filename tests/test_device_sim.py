@@ -76,6 +76,7 @@ def test_dynamics_parity_action_sequences():
         assert abs(dh) < 1e-4
 
 
+@pytest.mark.slow  # >25s compile-heavy; full tier: pytest -m ""
 def test_step_filter_slide_parity():
     """Diagonal moves into walls slide exactly like the host step_filter."""
     sim = _host_sim()
@@ -379,6 +380,7 @@ def test_scan_eval_sharded_matches_single(tmp_path):
             )
 
 
+@pytest.mark.slow  # >25s compile-heavy; full tier: pytest -m ""
 def test_expert_action_matches_host_sensor():
     """Device expert == host ShortestPathSensor over random navigable states
     (boundary-coincident states aside, which are measure-zero in f64 vs f32)."""

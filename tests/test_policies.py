@@ -76,6 +76,7 @@ def test_il_policy_forward_and_sequence(policy_name):
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
+@pytest.mark.slow  # >25s compile-heavy; full tier: pytest -m ""
 def test_sequence_forward_matches_stepwise():
     """The T-step scan must equal stepping one-by-one (masked-RNN parity at
     the full-policy level)."""

@@ -50,6 +50,7 @@ def _norm_randomize(module, seed=0):
             m.bias.data.normal_(0.0, 0.2, generator=g)
 
 
+@pytest.mark.slow  # >25s compile-heavy; full tier: pytest -m ""
 def test_cma_full_policy_activation_parity():
     """CMA at production shapes (224^2 rgb, 256^2 depth, resnet50 both,
     biLSTM instructions, progress monitor) — reference cma_policy.py:219-307."""
@@ -278,6 +279,7 @@ def _wpn_case(continuous: bool, rgb_version: str, depth_backbone: str,
         np.testing.assert_allclose(np.asarray(out["offset_var2"]), t_out["offset_var2"].numpy(), atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow  # >25s compile-heavy; full tier: pytest -m ""
 def test_waypoint_continuous_parity_real_shapes():
     """WPN continuous heads at production shapes (12-pano 224^2 rgb / 256^2
     depth, resnet50) — reference waypoint_predictors.py:330-615."""
