@@ -43,9 +43,16 @@ def test_bank_roundtrip_and_exact_lookup(tmp_path):
     class Ep:
         scene_id = "sceneA"
 
-    bank = load_bank_batch(str(tmp_path), [Ep(), Ep()])
+    # exact-M load (no bucket padding) for the roundtrip check
+    bank = load_bank_batch(str(tmp_path), [Ep(), Ep()], m_quantum=1)
     assert bank.node_pos.shape == (2, 3, 2)
     assert bank.rgb_shape == (6,) and bank.depth_shape == (4,)
+
+    # production default buckets M so chunks over different scenes share a
+    # compiled shape (exact-M padding retraced the eval segment per chunk)
+    bucketed = load_bank_batch(str(tmp_path), [Ep()])
+    assert bucketed.node_pos.shape[1] == 64
+    assert bool(np.all(np.asarray(bucketed.node_pos)[:, 3:] >= 1e8))  # padding far away
 
     # poses exactly at node 1 / heading bin 3 (H=4 -> bin width pi/2)
     pos = jnp.asarray([[3.0, 0.0, 1.0], [1.0, 0.0, 5.0]], jnp.float32)
@@ -83,7 +90,7 @@ def test_lookup_never_selects_padding_nodes(tmp_path):
     class EpSmall:
         scene_id = "small"
 
-    bank = load_bank_batch(str(tmp_path), [EpBig(), EpSmall()])
+    bank = load_bank_batch(str(tmp_path), [EpBig(), EpSmall()], m_quantum=1)
     assert bank.node_pos.shape[1] == 3  # padded to max M
     pos = jnp.asarray([[100.0, 0.0, 100.0]] * 2, jnp.float32)
     out = lookup_features(bank, pos, jnp.zeros((2,), jnp.float32))

@@ -623,6 +623,60 @@ def test_device_dagger_beta_mixing_statistics(tmp_path):
     assert a5 > a0 + 0.15, (a5, a0)
 
 
+def test_device_dagger_stop_on_segment_boundary(tmp_path):
+    """An episode whose STOP lands on the LAST step of the final scan segment
+    never gets a done flag into done_before (flags record the before-step
+    state and the loop exits on the after-state). The length fallback must be
+    the recorded row count, not MAX_EPISODE_STEPS — with the T_max fallback
+    the store path wrote instruction rows for unrecorded steps and the
+    resident bank trained on duplicated garbage rows."""
+    from gymnasium import spaces as gspaces
+
+    from vlnce_tpu.models.cma_policy import CMAPolicy
+    from vlnce_tpu.ops.obs_transforms import get_active_obs_transforms
+    from vlnce_tpu.tasks.datasets import make_dataset
+    from vlnce_tpu.trainers.device_dagger import collect_episodes_on_device
+
+    def collect(seg_len, episodes, cfg, policy, transforms):
+        cfg = cfg.clone()
+        cfg.defrost()
+        cfg.TPU.DAGGER_SEGMENT = seg_len
+        cfg.freeze()
+        return collect_episodes_on_device(
+            policy, transforms, cfg, episodes, 1.0, jax.random.PRNGKey(0)
+        )
+
+    cfg = get_config(opts=base_opts(str(tmp_path), [
+        "TASK_CONFIG.DATASET.NUM_EPISODES", 1,
+        "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", 64,
+        "NUM_ENVIRONMENTS", 1,
+    ]))
+    episodes = list(
+        make_dataset("Synthetic-VLN-v0", cfg.TASK_CONFIG.DATASET).episodes
+    )[:1]
+    space = gspaces.Dict({
+        "rgb": gspaces.Box(0, 255, (IMG, IMG, 3), np.uint8),
+        "depth": gspaces.Box(0, 1, (IMG, IMG, 1), np.float32),
+        "instruction": gspaces.Box(0, 10000, (200,), np.int32),
+        "progress": gspaces.Box(0, 1, (1,), np.float32),
+    })
+    policy = CMAPolicy.from_config(cfg, space, gspaces.Discrete(4))
+    policy.init_params(jax.random.PRNGKey(0), batch_size=1)
+    transforms = get_active_obs_transforms(cfg)
+
+    # reference collection: segment longer than any episode
+    ref_obs, ref_prev, ref_oracle = collect(64, episodes, cfg, policy, transforms)[0]
+    L = len(ref_prev)
+    assert 2 <= L < 64, L
+
+    # STOP on the exact last step of the final segment: seg_len == L
+    obs, prev, oracle = collect(L, episodes, cfg, policy, transforms)[0]
+    np.testing.assert_array_equal(prev, ref_prev)
+    np.testing.assert_array_equal(oracle, ref_oracle)
+    for k in ref_obs:
+        assert obs[k].shape == ref_obs[k].shape, (k, obs[k].shape, ref_obs[k].shape)
+
+
 def test_waypoint_eval_video_with_overlays(tmp_path):
     """Waypoint eval with VIDEO_OPTION writes frames through the full
     overlay compositor (pano probs, stop gauge, step stats, instruction

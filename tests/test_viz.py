@@ -196,3 +196,11 @@ def test_waypoint_frame_prob_row_without_map():
         obs, {}, pano=None, pano_distribution=probs, distance=0.5,
     )
     assert f.ndim == 3 and f.shape[2] == 3
+    # the instruction panel composes even without a map (the pre-overlay
+    # path appended instruction text unconditionally)
+    f_instr = video.waypoint_observations_to_image(
+        obs, {}, pano=None, pano_distribution=probs, distance=0.5,
+        instruction_text="turn left at the sofa",
+    )
+    assert f_instr.shape[1] > f.shape[1]
+    assert f_instr.shape[0] == f.shape[0]

@@ -81,9 +81,33 @@ def save_scene_bank(
     )
 
 
-def load_bank_batch(bank_dir: str, episodes: List) -> FeatureBankBatch:
+def load_bank_shapes(bank_dir: str, episode) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+    """Feature shapes recorded in an episode's scene bank, WITHOUT loading
+    (or device_put-ing) the feature arrays — npz members materialize on
+    access, so reading only the two shape records costs nothing. Used by
+    scan_eval's shape probe: uploading a full [M, H, F] bank just to read
+    two tuples would double-buffer the first scene in HBM."""
+    sid = _scene_key(episode.scene_id)
+    path = os.path.join(bank_dir, f"{sid}.npz")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"feature bank for scene {sid!r} not found at {path}; "
+            f"generate it with scripts/generate_feature_bank.py"
+        )
+    with np.load(path) as z:
+        return (
+            tuple(int(x) for x in z["rgb_shape"]),
+            tuple(int(x) for x in z["depth_shape"]),
+        )
+
+
+def load_bank_batch(bank_dir: str, episodes: List, m_quantum: int = 64) -> FeatureBankBatch:
     """Load the per-scene banks for a batch of episodes and stack them
-    (one device_put for the whole batch)."""
+    (one device_put for the whole batch). The node axis M is padded up to a
+    multiple of m_quantum so that chunks over scenes with different node
+    counts land in the same compiled-shape bucket — per-chunk exact-M
+    padding retraced the eval segment for every distinct M (~13s per
+    retrace on a remote-attached chip, PERFORMANCE.md)."""
     cache: Dict[str, dict] = {}
     loaded = []
     for ep in episodes:
@@ -107,6 +131,8 @@ def load_bank_batch(bank_dir: str, episodes: List) -> FeatureBankBatch:
             raise ValueError("feature banks disagree on num_headings")
 
     M = max(z["node_pos"].shape[0] for z in loaded)
+    if m_quantum > 1:
+        M = -(-M // m_quantum) * m_quantum
     B = len(loaded)
     node_pos = np.full((B, M, 2), 1e9, np.float32)
     rgb = np.zeros((B, M, H, loaded[0]["rgb_features"].shape[-1]), np.float16)

@@ -175,6 +175,9 @@ def globalize_batch(mesh: Mesh, obs_tn: Dict[str, jnp.ndarray], prev_tn,
     )
 
 
+_MAX_REDUCE_CACHE: Dict[int, Tuple] = {}
+
+
 def global_max_time(mesh: Mesh, t_local: int) -> int:
     """Agree the padded time length across processes: every process's batch
     has its own bucketed T (length bucketing is per-process data), but a
@@ -186,13 +189,22 @@ def global_max_time(mesh: Mesh, t_local: int) -> int:
         return t_local
     from jax.sharding import NamedSharding
 
+    # per-batch hot path: the jitted reduction (and shardings) are cached per
+    # mesh — a fresh jax.jit wrapper per call would re-trace every batch
+    key = id(mesh)
+    if key not in _MAX_REDUCE_CACHE or _MAX_REDUCE_CACHE[key][0] is not mesh:
+        _MAX_REDUCE_CACHE.clear()  # one live training mesh at a time
+        _MAX_REDUCE_CACHE[key] = (
+            mesh,
+            NamedSharding(mesh, P(DATA_AXIS)),
+            jax.jit(jnp.max, out_shardings=NamedSharding(mesh, P())),
+        )
+    _, in_sharding, max_fn = _MAX_REDUCE_CACHE[key]
     d = mesh.shape[DATA_AXIS]
     nproc = jax.process_count()
     local = np.full((d // nproc,), t_local, np.int32)
-    arr = jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P(DATA_AXIS)), local, (d,)
-    )
-    return int(jax.jit(jnp.max, out_shardings=NamedSharding(mesh, P()))(arr))
+    arr = jax.make_array_from_process_local_data(in_sharding, local, (d,))
+    return int(max_fn(arr))
 
 
 def pad_time_axis(obs_tn: Dict[str, jnp.ndarray], prev_tn, masks_tn,

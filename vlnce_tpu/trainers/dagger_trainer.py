@@ -126,6 +126,23 @@ class DaggerTrainer(BaseVLNCETrainer):
                 if reader is not None:
                     reader.close()
 
+    def _collection_plan(self, data_it: int):
+        """The episode slice and beta shared by every device collection mode
+        (resident bank and store-wired): beta follows the reference schedule
+        p**iteration (reference dagger_trainer.py:414-418); episodes are the
+        first update_size in dataset order. One definition, so the resident
+        and store paths can never silently diverge on selection or mixing."""
+        from vlnce_tpu.tasks.datasets import make_dataset
+
+        config = self.config
+        p = config.IL.DAGGER.p
+        beta = 0.0 if p == 0.0 else p**data_it
+        dataset = make_dataset(
+            config.TASK_CONFIG.DATASET.TYPE, config.TASK_CONFIG.DATASET
+        )
+        episodes = list(dataset.episodes)[: int(config.IL.DAGGER.update_size)]
+        return episodes, beta
+
     # ----------------------------------------------------- resident pipeline
     def _resident_iterator(self, data_it: int, seed: int):
         """Fused collect->train (TPU.DAGGER_RESIDENT): collection keeps the
@@ -143,7 +160,13 @@ class DaggerTrainer(BaseVLNCETrainer):
         if config.IL.DAGGER.preload_lmdb_features:
             if self._bank is None:
                 reader = TrajectoryStoreReader(self.features_dir)
-                self._bank = DeviceTrajectoryBank.from_store(reader)
+                self._bank = DeviceTrajectoryBank.from_store(
+                    reader,
+                    # the task's configured instruction sensor (e.g. RxR's
+                    # rxr_instruction) — the default 'instruction' would
+                    # misfile the instruction as a per-step feature row
+                    instr_uuid=str(config.MODEL.INSTRUCTION_ENCODER.sensor_uuid),
+                )
                 reader.close()
                 logger.info(
                     f"uploaded trajectory store to device bank: "
@@ -158,15 +181,9 @@ class DaggerTrainer(BaseVLNCETrainer):
                     "store upload); the host env-pool collector cannot feed "
                     "the device bank directly"
                 )
-            from vlnce_tpu.tasks.datasets import make_dataset
             from vlnce_tpu.trainers.device_dagger import collect_episodes_resident
 
-            p = config.IL.DAGGER.p
-            beta = 0.0 if p == 0.0 else p**data_it
-            dataset = make_dataset(
-                config.TASK_CONFIG.DATASET.TYPE, config.TASK_CONFIG.DATASET
-            )
-            episodes = list(dataset.episodes)[: int(config.IL.DAGGER.update_size)]
+            episodes, beta = self._collection_plan(data_it)
             pbar = tqdm.tqdm(total=len(episodes), dynamic_ncols=True)
             t0 = _time.time()
             new_bank = collect_episodes_resident(
@@ -437,14 +454,10 @@ class DaggerTrainer(BaseVLNCETrainer):
 
         import tqdm
 
-        from vlnce_tpu.tasks.datasets import make_dataset
         from vlnce_tpu.trainers.device_dagger import collect_episodes_on_device
 
         config = self.config
-        p = config.IL.DAGGER.p
-        beta = 0.0 if p == 0.0 else p**data_it
-        dataset = make_dataset(config.TASK_CONFIG.DATASET.TYPE, config.TASK_CONFIG.DATASET)
-        episodes = list(dataset.episodes)[: int(config.IL.DAGGER.update_size)]
+        episodes, beta = self._collection_plan(data_it)
 
         writer = TrajectoryStoreWriter(self.features_dir, drop_existing=False)
         pbar = tqdm.tqdm(total=len(episodes), dynamic_ncols=True)

@@ -517,28 +517,37 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
             stepped = envs.step_at(active_ids, [actions[i] for i in active_ids])
             masks_np = np.ones((N, 1), np.float32)
             new_obs = list(observations)
+            if len(config.VIDEO_OPTION) > 0:
+                # ONE host readback + softmax for the whole [N, P+1] batch —
+                # a per-env device softmax in the frame loop would pay N
+                # dispatch round trips per step
+                r_np = np.asarray(out["r"]).reshape(-1)
+                th_np = np.asarray(out["theta"]).reshape(-1)
+                logits_np = np.asarray(out["pano_stop_logits"], np.float32)
+                logits_np = logits_np - logits_np.max(axis=-1, keepdims=True)
+                probs_np = np.exp(logits_np)
+                probs_np /= probs_np.sum(axis=-1, keepdims=True)
+                offset_np = np.asarray(out["action_elements"]["offset"]).reshape(-1)
+                offset_mode_np = np.asarray(out["modes"]["offset"]).reshape(-1)
+                distance_np = np.asarray(out["action_elements"]["distance"]).reshape(-1)
+                distance_mode_np = np.asarray(out["modes"]["distance"]).reshape(-1)
             for i, (obs, _, done, info) in zip(active_ids, stepped):
                 new_obs[i] = obs
                 if len(config.VIDEO_OPTION) > 0:
                     from vlnce_tpu.utils.video import waypoint_observations_to_image
 
-                    r_np = np.asarray(out["r"]).reshape(-1)
-                    th_np = np.asarray(out["theta"]).reshape(-1)
                     # full debug composition (reference utils.py:380-543):
                     # per-pano probability row, stop gauge, offset/distance
                     # step stats with distribution modes, instruction panel
-                    probs = np.asarray(
-                        jax.nn.softmax(out["pano_stop_logits"][i].astype(jnp.float32))
-                    ).reshape(-1)
                     frame = waypoint_observations_to_image(
                         {"rgb": batch["rgb"][i], "depth": batch["depth"][i]}, info,
                         pano=int(pano_np[i]) if not stop_np[i] else None,
                         r=float(r_np[i]), theta=float(th_np[i]),
-                        pano_distribution=probs,
-                        offset=float(np.asarray(out["action_elements"]["offset"]).reshape(-1)[i]),
-                        offset_mode=float(np.asarray(out["modes"]["offset"]).reshape(-1)[i]),
-                        distance=float(np.asarray(out["action_elements"]["distance"]).reshape(-1)[i]),
-                        distance_mode=float(np.asarray(out["modes"]["distance"]).reshape(-1)[i]),
+                        pano_distribution=probs_np[i].reshape(-1),
+                        offset=float(offset_np[i]),
+                        offset_mode=float(offset_mode_np[i]),
+                        distance=float(distance_np[i]),
+                        distance_mode=float(distance_mode_np[i]),
                         instruction_text=current_episodes[i].instruction.instruction_text,
                     )
                     rgb_frames[i].append(frame)

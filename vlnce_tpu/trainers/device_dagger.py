@@ -111,6 +111,10 @@ def _chunk_rollouts(
     allow_sliding = bool(task_cfg.SIMULATOR.HABITAT_SIM_V0.ALLOW_SLIDING)
     goal_radius = float(task_cfg.TASK.SHORTEST_PATH_SENSOR.GOAL_RADIUS)
     store_f16 = bool(config.IL.DAGGER.lmdb_fp16)
+    # the task's configured instruction sensor (RxR: "rxr_instruction" BERT
+    # features) — the policy reads this key, so a hard-coded "instruction"
+    # would KeyError on RxR models
+    instr_uuid = str(config.MODEL.INSTRUCTION_ENCODER.sensor_uuid)
 
     # segment length: episodes finish in tens of steps; scanning the full
     # MAX_EPISODE_STEPS cap per chunk would compute (and read back) hundreds
@@ -120,7 +124,7 @@ def _chunk_rollouts(
     cache_key = (
         tuple(specs), B, seg_len, T_max, store_f16,
         goal_radius, turn_angle, forward_step, allow_sliding,
-        tuple(type(t).__name__ for t in transforms),
+        tuple(type(t).__name__ for t in transforms), instr_uuid,
     )
     feat_shapes: Dict[str, tuple] = {}  # filled at trace time
 
@@ -128,7 +132,7 @@ def _chunk_rollouts(
         def body(c, t):
             pos, heading, rnn, prev_a, done, g = c
             obs = render_batch(scenes, pos, heading, specs)
-            obs["instruction"] = instruction
+            obs[instr_uuid] = instruction
             obs["progress"] = progress_batch(scenes, pos)
             batch = apply_obs_transforms_batch(obs, transforms)
             mask = jnp.where(g == 0, 0.0, 1.0) * jnp.ones((B, 1), jnp.float32)
@@ -197,7 +201,7 @@ def _chunk_rollouts(
         real = len(chunk)
         chunk = chunk + [chunk[-1]] * (B - real)
         ef, gxz = _expert_arrays(chunk)
-        arrays = _episode_batch_arrays(chunk)
+        arrays = _episode_batch_arrays(chunk, instr_uuid=instr_uuid, task_cfg=task_cfg)
         rng, chunk_rng = jax.random.split(rng)
         rnn0 = np.zeros(
             (B, policy.num_recurrent_layers, policy.hidden_size), np.float32
@@ -234,11 +238,18 @@ def _chunk_rollouts(
 
 
 def _episode_lengths(done_before: np.ndarray, real: int, T_max: int) -> np.ndarray:
-    """First done flag per env column = steps recorded for that episode."""
+    """First done flag per env column = steps recorded for that episode.
+
+    An env whose STOP lands on the LAST step of the final segment never gets
+    a done flag into done_before (flags record done BEFORE the step, and the
+    segment loop exits on the after-state) — its true length is exactly the
+    number of recorded rows, NOT T_max; falling back to T_max would claim
+    unrecorded (garbage) steps for the episode."""
+    recorded = int(done_before.shape[0])
     lengths = np.empty((real,), np.int64)
     for b in range(real):
         ends = np.flatnonzero(done_before[:, b])
-        T_ep = int(ends[0]) if len(ends) else T_max
+        T_ep = int(ends[0]) if len(ends) else min(recorded, T_max)
         lengths[b] = max(T_ep, 1)  # degenerate: started at goal, one STOP step
     return lengths
 
@@ -253,6 +264,7 @@ def collect_episodes_on_device(
     host loop (dagger_trainer.py:220-240)."""
     T_max = int(config.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS)
     store_f16 = bool(config.IL.DAGGER.lmdb_fp16)
+    instr_uuid = str(config.MODEL.INSTRUCTION_ENCODER.sensor_uuid)
 
     results: List[Tuple[Dict[str, np.ndarray], np.ndarray, np.ndarray]] = []
     for real, arrays, pieces, done_before, feat_shapes in _chunk_rollouts(
@@ -269,7 +281,7 @@ def collect_episodes_on_device(
         for b in range(real):
             T_ep = int(lengths[b])
             traj_obs = {
-                "instruction": np.repeat(instr_np[b][None], T_ep, axis=0),
+                instr_uuid: np.repeat(instr_np[b][None], T_ep, axis=0),
                 "progress": np.asarray(seq["progress"][:T_ep, b]),
             }
             for k in ("rgb_features", "depth_features"):
@@ -360,6 +372,7 @@ def collect_episodes_resident(
     bank = DeviceTrajectoryBank.from_rows(
         row_chunks, prev_chunks, oracle_chunks, instr_chunks,
         all_lengths, shapes,
+        instr_uuid=str(config.MODEL.INSTRUCTION_ENCODER.sensor_uuid),
     )
     logger.info(
         f"device bank: {len(bank)} episodes, {bank.num_steps} steps, "

@@ -225,10 +225,10 @@ def run_scan_rollouts(
     bank_dir = str(getattr(config.TPU, "FEATURE_BANK_DIR", "") or "")
     bank_shapes = None
     if bank_dir:
-        from vlnce_tpu.data.feature_bank import load_bank_batch
+        from vlnce_tpu.data.feature_bank import load_bank_shapes
 
-        probe = load_bank_batch(bank_dir, episodes[:1])
-        bank_shapes = (probe.rgb_shape, probe.depth_shape)
+        # metadata-only probe: no feature arrays loaded, nothing device_put
+        bank_shapes = load_bank_shapes(bank_dir, episodes[0])
 
     segment_fn = _build_segment_fn(
         policy, transforms, specs, task_cfg.SIMULATOR, deterministic, seg_len,

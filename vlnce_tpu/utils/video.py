@@ -245,8 +245,18 @@ def waypoint_observations_to_image(
                 [frame, _instruction_panel(mh, panel_w, instruction_text), m],
                 axis=1,
             )
+            instruction_text = None  # composed
         else:
             frame = np.concatenate([frame, m], axis=1)
+    if instruction_text:
+        # no top-down map in the measures: the instruction panel still
+        # belongs on the frame (the pre-overlay compositor appended the
+        # text unconditionally)
+        panel_w = max(60, frame.shape[1] // 4)
+        frame = np.concatenate(
+            [frame, _instruction_panel(frame.shape[0], panel_w, instruction_text)],
+            axis=1,
+        )
     return frame
 
 
