@@ -484,6 +484,62 @@ def test_dagger_resident_training_matches_store_losses(tmp_path):
     )
 
 
+def test_dagger_resident_sharded_collection_matches_single_device(tmp_path):
+    """Resident collect->train with the env axis sharded over the data mesh
+    (TPU.MESH.DATA=4): the collection scan runs pjit over 4 virtual devices,
+    the bank is built mesh-replicated, and the bank contents + per-batch
+    training losses match the single-device run (sharding never changes JAX
+    values; only placement)."""
+    losses, banks = {}, {}
+    for tag, extra in (("single", []), ("sharded", ["TPU.MESH.DATA", 4])):
+        tmp = str(tmp_path / tag)
+        cfg = get_config(opts=base_opts(tmp, [
+            "TASK_CONFIG.DATASET.NUM_EPISODES", 4,
+            "NUM_ENVIRONMENTS", 4,
+            "IL.DAGGER.update_size", 4,
+            "IL.epochs", 2,
+            "IL.DAGGER.lmdb_features_dir", f"{tmp}/traj",
+            "TPU.ON_DEVICE_DAGGER", True,
+            "TPU.DAGGER_RESIDENT", True,
+        ] + extra))
+        trainer = registry.get_trainer("dagger")(cfg)
+        rec = []
+        orig = trainer._update_agent
+
+        def wrapped(*a, _orig=orig, _rec=rec, **kw):
+            out = _orig(*a, **kw)
+            _rec.append(out)
+            return out
+
+        trainer._update_agent = wrapped
+        trainer.train()
+        losses[tag] = np.asarray(rec)
+        banks[tag] = trainer._bank
+
+    single, sharded = banks["single"], banks["sharded"]
+    # the sharded bank must actually live on the mesh (replicated over 4
+    # devices), not have silently fallen back to device 0
+    assert len(sharded.prev.sharding.device_set) == 4
+    np.testing.assert_array_equal(single.lengths, sharded.lengths)
+    oracle_s = np.asarray(single.oracle)
+    oracle_m = np.asarray(sharded.oracle)
+    for e in range(len(single)):
+        ls, lm = int(single.offsets[e]), int(sharded.offsets[e])
+        T = int(single.lengths[e])
+        np.testing.assert_array_equal(
+            oracle_s[ls : ls + T], oracle_m[lm : lm + T]
+        )
+        for k in single.data:
+            np.testing.assert_allclose(
+                np.asarray(single.data[k][ls : ls + T], np.float32),
+                np.asarray(sharded.data[k][lm : lm + T], np.float32),
+                atol=1e-4, err_msg=k,
+            )
+    np.testing.assert_allclose(
+        losses["sharded"], losses["single"], rtol=1e-4, atol=1e-6
+    )
+
+
 def test_dagger_resident_archive_store_roundtrip(tmp_path):
     """DAGGER_ARCHIVE_STORE writes the bank to the trajectory store in the
     host schema; a bank rebuilt from that store matches the original."""

@@ -157,10 +157,12 @@ class DeviceTrajectoryBank:
         feat_shapes: Dict[str, tuple],
         trash_index: int,
         instr_uuid: str = "instruction",
+        mesh=None,
     ):
         self.data = data
         self.prev = prev
         self.oracle = oracle
+        self.mesh = mesh
         self._instr_host = np.asarray(instr_host)
         self.offsets = np.asarray(offsets, np.int64)
         self.lengths = np.asarray(lengths, np.int64)
@@ -168,11 +170,23 @@ class DeviceTrajectoryBank:
         self.trash_index = int(trash_index)
         self.instr_uuid = instr_uuid
         E_pad = _round_up(max(len(self.offsets), 1), EPISODE_QUANTUM)
-        self.instruction, self._offsets_d, self._lengths_d = jax.device_put((
+        aux = (
             _pad_host(self._instr_host, E_pad, 0),
             _pad_host(self.offsets.astype(np.int32), E_pad, 0),
             _pad_host(self.lengths.astype(np.int32), E_pad, 0),
-        ))
+        )
+        if mesh is None:
+            self.instruction, self._offsets_d, self._lengths_d = jax.device_put(aux)
+        else:
+            # row arrays live mesh-replicated (sharded collection); the aux
+            # arrays must join them on the SAME device set or the gather jit
+            # would mix device placements (an error in JAX, not a reshard)
+            from vlnce_tpu.parallel.mesh import replicated
+
+            repl = replicated(mesh)
+            self.instruction, self._offsets_d, self._lengths_d = jax.device_put(
+                aux, (repl, repl, repl)
+            )
 
     # ------------------------------------------------------------- properties
     def __len__(self) -> int:
@@ -201,9 +215,12 @@ class DeviceTrajectoryBank:
         lengths: List[int],
         feat_shapes: Dict[str, tuple],
         instr_uuid: str = "instruction",
+        mesh=None,
     ) -> "DeviceTrajectoryBank":
         """Assemble from per-chunk device row blocks (episode-major rows,
-        padding rows allowed at each chunk's tail — offsets skip them)."""
+        padding rows allowed at each chunk's tail — offsets skip them).
+        With `mesh`, the chunks arrive mesh-replicated (sharded collection's
+        pack emits them that way) and the bank stays on the mesh."""
         keys = list(row_chunks[0].keys())
         n_rows = sum(int(c[keys[0]].shape[0]) for c in row_chunks)
         target = _round_up(n_rows + 1, ROW_QUANTUM)  # >=1 padding row (trash)
@@ -230,13 +247,15 @@ class DeviceTrajectoryBank:
         return cls(
             data, prev, oracle, instr_host,
             np.asarray(offsets, np.int64), lengths_arr, feat_shapes,
-            trash_index=n_rows, instr_uuid=instr_uuid,
+            trash_index=n_rows, instr_uuid=instr_uuid, mesh=mesh,
         )
 
     @classmethod
-    def from_store(cls, reader, instr_uuid: str = "instruction") -> "DeviceTrajectoryBank":
+    def from_store(cls, reader, instr_uuid: str = "instruction",
+                   mesh=None) -> "DeviceTrajectoryBank":
         """Upload a whole trajectory store once (preload_lmdb_features with
-        the resident trainer): one device_put for all rows."""
+        the resident trainer): one device_put for all rows (mesh-replicated
+        when a data mesh is active)."""
         host_rows: Dict[str, List[np.ndarray]] = {}
         prev_rows, oracle_rows, instrs, lengths = [], [], [], []
         feat_shapes: Dict[str, tuple] = {}
@@ -266,11 +285,20 @@ class DeviceTrajectoryBank:
         oracle_h = np.concatenate(oracle_rows + [np.zeros((pad_n,), np.int32)])
         instr_h = np.stack(instrs)
         offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
-        data, prev, oracle = jax.device_put((data_h, prev_h, oracle_h))
+        if mesh is None:
+            data, prev, oracle = jax.device_put((data_h, prev_h, oracle_h))
+        else:
+            from vlnce_tpu.parallel.mesh import replicated
+
+            repl = replicated(mesh)
+            data, prev, oracle = jax.device_put(
+                (data_h, prev_h, oracle_h),
+                ({k: repl for k in data_h}, repl, repl),
+            )
         return cls(
             data, prev, oracle, instr_h, offsets,
             np.asarray(lengths), feat_shapes,
-            trash_index=n_rows, instr_uuid=instr_uuid,
+            trash_index=n_rows, instr_uuid=instr_uuid, mesh=mesh,
         )
 
     def extend(self, other: "DeviceTrajectoryBank") -> "DeviceTrajectoryBank":
@@ -291,7 +319,7 @@ class DeviceTrajectoryBank:
         return DeviceTrajectoryBank(
             data, prev, oracle, instr_host, offsets, lengths,
             self.feat_shapes, trash_index=self.trash_index,
-            instr_uuid=self.instr_uuid,
+            instr_uuid=self.instr_uuid, mesh=self.mesh,
         )
 
     # ---------------------------------------------------------------- gather

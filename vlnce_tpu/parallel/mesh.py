@@ -10,6 +10,7 @@ groups, no NCCL.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
 import jax
@@ -64,6 +65,34 @@ def resolve_training_mesh(config) -> Optional[Mesh]:
             f"TPU.MESH.DATA=-1 for auto or 1 to force single-device"
         )
     return make_mesh(num_devices=need, model_parallel=model)
+
+
+def shrink_mesh_for_batch(mesh: Optional[Mesh], batch_size: int,
+                          tag: str = "env scan") -> Optional[Mesh]:
+    """Largest data mesh whose width divides `batch_size`, or None.
+
+    Env-sharded device scans (scan-eval, rollout collection, on-device
+    DAgger) need the env axis to split evenly over the data axis; a mesh
+    the batch doesn't divide is shrunk to the gcd (with a warning) rather
+    than silently running replicated or erroring — matching scan-eval's
+    round-2 behavior, now shared by every env-sharded path."""
+    if mesh is None or batch_size <= 0:
+        return None
+    n_data = mesh.shape[DATA_AXIS]
+    if n_data <= 1:
+        return None
+    if batch_size % n_data == 0:
+        return mesh
+    g = math.gcd(batch_size, n_data)
+    if g <= 1:
+        return None
+    from vlnce_tpu.utils.logging import logger
+
+    logger.warning(
+        f"{tag}: batch {batch_size} doesn't divide the {n_data}-way data "
+        f"mesh; using a {g}-way mesh"
+    )
+    return make_mesh(num_devices=g)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -143,6 +143,29 @@ class DaggerTrainer(BaseVLNCETrainer):
         episodes = list(dataset.episodes)[: int(config.IL.DAGGER.update_size)]
         return episodes, beta
 
+    def _resident_mesh(self):
+        """Mesh for the resident collect->train pipeline. Collection, bank,
+        and train step must share ONE device set (mixing placements is an
+        error in JAX, not a reshard) — so the env axis either divides the
+        training mesh or collection falls back to single-device (the bank
+        arrays stay uncommitted and the train step reshards per batch, the
+        pre-sharding behavior)."""
+        if self.mesh is None:
+            return None
+        from vlnce_tpu.parallel.mesh import DATA_AXIS
+
+        n_data = self.mesh.shape[DATA_AXIS]
+        B = max(1, int(self.config.NUM_ENVIRONMENTS))
+        if B % n_data == 0:
+            return self.mesh
+        logger.warning(
+            f"TPU.DAGGER_RESIDENT: NUM_ENVIRONMENTS={B} doesn't divide the "
+            f"{n_data}-way data mesh; collecting single-device (training "
+            f"stays sharded). Make NUM_ENVIRONMENTS a multiple of the data "
+            f"width to shard collection."
+        )
+        return None
+
     # ----------------------------------------------------- resident pipeline
     def _resident_iterator(self, data_it: int, seed: int):
         """Fused collect->train (TPU.DAGGER_RESIDENT): collection keeps the
@@ -166,6 +189,9 @@ class DaggerTrainer(BaseVLNCETrainer):
                     # rxr_instruction) — the default 'instruction' would
                     # misfile the instruction as a per-step feature row
                     instr_uuid=str(config.MODEL.INSTRUCTION_ENCODER.sensor_uuid),
+                    # mesh-replicated so every chip's train-step batch slice
+                    # is a local read (no reshard per batch)
+                    mesh=self.mesh,
                 )
                 reader.close()
                 logger.info(
@@ -189,6 +215,7 @@ class DaggerTrainer(BaseVLNCETrainer):
             new_bank = collect_episodes_resident(
                 self.policy, self.obs_transforms, config, episodes, beta,
                 self._next_rng(), progress_cb=pbar.update,
+                mesh=self._resident_mesh(),
             )
             pbar.close()
             logger.info(
@@ -454,6 +481,7 @@ class DaggerTrainer(BaseVLNCETrainer):
 
         import tqdm
 
+        from vlnce_tpu.parallel.mesh import shrink_mesh_for_batch
         from vlnce_tpu.trainers.device_dagger import collect_episodes_on_device
 
         config = self.config
@@ -465,6 +493,12 @@ class DaggerTrainer(BaseVLNCETrainer):
         results = collect_episodes_on_device(
             self.policy, self.obs_transforms, config, episodes, beta,
             self._next_rng(), progress_cb=pbar.update,
+            # store-wired: results are read back to host, so a shrunk mesh
+            # (env axis must divide) can't conflict with the train step
+            mesh=shrink_mesh_for_batch(
+                self.mesh, max(1, int(config.NUM_ENVIRONMENTS)),
+                tag="on-device DAgger collection",
+            ),
         )
         for payload in results:
             writer.put(list(payload))

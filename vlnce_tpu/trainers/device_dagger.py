@@ -41,7 +41,9 @@ from typing import Dict, Iterator, List, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
+from vlnce_tpu.parallel.mesh import DATA_AXIS
 from vlnce_tpu.envs.device_sim import (
     SceneBatch,
     build_scene_batch,
@@ -94,6 +96,7 @@ def _expert_arrays(episodes) -> Tuple[np.ndarray, np.ndarray]:
 
 def _chunk_rollouts(
     policy, transforms, config, episodes: List, beta: float, rng,
+    mesh=None,
 ) -> Iterator[Tuple[int, Dict[str, np.ndarray], List[Dict], np.ndarray, Dict[str, tuple]]]:
     """Run the beta-mixed device collection chunk by chunk.
 
@@ -101,7 +104,14 @@ def _chunk_rollouts(
     NUM_ENVIRONMENTS episodes: `pieces` is a list of DEVICE segment dicts
     ([seg_len, B, ...] leaves, f16 wire dtypes); `done_before` is the
     host [T_total, B] bool done-flag matrix (the only per-step data that
-    crosses back here)."""
+    crosses back here).
+
+    With `mesh`, the segment jit shards the env axis over the data mesh
+    (params replicated, every per-env leaf split) — the same pjit pattern as
+    sharded scan-eval/rollout collection; emitted pieces come out env-sharded
+    on axis 1. Episodes are independent, so collection throughput scales
+    linearly with chips and the collected values are identical to the
+    single-device run (sharding never changes JAX semantics)."""
     task_cfg = config.TASK_CONFIG
     specs = camera_specs_from_config(task_cfg.SIMULATOR)
     T_max = int(task_cfg.ENVIRONMENT.MAX_EPISODE_STEPS)
@@ -125,6 +135,7 @@ def _chunk_rollouts(
         tuple(specs), B, seg_len, T_max, store_f16,
         goal_radius, turn_angle, forward_step, allow_sliding,
         tuple(type(t).__name__ for t in transforms), instr_uuid,
+        None if mesh is None else mesh.shape[DATA_AXIS],
     )
     feat_shapes: Dict[str, tuple] = {}  # filled at trace time
 
@@ -190,8 +201,23 @@ def _chunk_rollouts(
     cache = _policy_cache(policy)
     if cache_key in cache:
         segment_jit, feat_shapes = cache[cache_key]
-    else:
+    elif mesh is None:
         segment_jit = jax.jit(segment)
+        while len(cache) >= _CACHE_MAX:
+            cache.pop(next(iter(cache)))
+        cache[cache_key] = (segment_jit, feat_shapes)
+    else:
+        # env axis over the data mesh: params/rng/beta replicated, every
+        # per-env tensor (scenes, expert field, goal, instruction, carry)
+        # sharded on its B axis — identical to sharded scan-eval
+        # (trainers/scan_eval.py) and the rollout collector
+        repl = NamedSharding(mesh, P())
+        env0 = NamedSharding(mesh, P(DATA_AXIS))
+        scenes_s = SceneBatch(*(env0 for _ in SceneBatch._fields))
+        carry_s = (env0, env0, env0, env0, env0, repl)  # g replicated
+        segment_jit = jax.jit(segment, in_shardings=(
+            repl, scenes_s, env0, env0, env0, carry_s, repl, repl
+        ))
         while len(cache) >= _CACHE_MAX:
             cache.pop(next(iter(cache)))
         cache[cache_key] = (segment_jit, feat_shapes)
@@ -256,19 +282,20 @@ def _episode_lengths(done_before: np.ndarray, real: int, T_max: int) -> np.ndarr
 
 def collect_episodes_on_device(
     policy, transforms, config, episodes: List, beta: float, rng,
-    progress_cb=None,
+    progress_cb=None, mesh=None,
 ) -> List[Tuple[Dict[str, np.ndarray], np.ndarray, np.ndarray]]:
     """Collect `episodes` with the beta-mixed expert/policy driver, fully on
     device. Returns writer-ready (traj_obs, prev_actions, oracle_actions)
     triples in episode order — the same payload flush_episode builds in the
-    host loop (dagger_trainer.py:220-240)."""
+    host loop (dagger_trainer.py:220-240). With `mesh`, the collection scan
+    shards its env axis over the data mesh (values identical either way)."""
     T_max = int(config.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS)
     store_f16 = bool(config.IL.DAGGER.lmdb_fp16)
     instr_uuid = str(config.MODEL.INSTRUCTION_ENCODER.sensor_uuid)
 
     results: List[Tuple[Dict[str, np.ndarray], np.ndarray, np.ndarray]] = []
     for real, arrays, pieces, done_before, feat_shapes in _chunk_rollouts(
-        policy, transforms, config, episodes, beta, rng
+        policy, transforms, config, episodes, beta, rng, mesh=mesh
     ):
         # one bulk readback per chunk (data crossed the wire nowhere else)
         pieces_np = jax.device_get(pieces)
@@ -298,10 +325,16 @@ def collect_episodes_on_device(
     return results
 
 
-def _build_pack(n_seg: int, T_cut: int, M: int, keys: tuple):
+def _build_pack(n_seg: int, T_cut: int, M: int, keys: tuple, mesh=None):
     """Jitted chunk pack: concat segment emits along time, slice to the step
     cap, and take the episode-major valid rows (one gather per key). Cached
-    per (segment count, row-bucket) shape."""
+    per (segment count, row-bucket) shape.
+
+    With `mesh` (sharded collection), the pieces arrive env-sharded on axis
+    1 and the episode-major row gather crosses env shards — out_shardings
+    pins the packed rows REPLICATED, so XLA places the all-gather here, once
+    per chunk, and the bank's training gathers stay communication-free for
+    the whole epoch."""
 
     def pack(pieces: tuple, sel: jnp.ndarray):
         out = {}
@@ -314,18 +347,25 @@ def _build_pack(n_seg: int, T_cut: int, M: int, keys: tuple):
             out[k] = g
         return out
 
-    return jax.jit(pack)
+    if mesh is None:
+        return jax.jit(pack)
+    return jax.jit(pack, out_shardings=NamedSharding(mesh, P()))
 
 
 def collect_episodes_resident(
     policy, transforms, config, episodes: List, beta: float, rng,
-    progress_cb=None,
+    progress_cb=None, mesh=None,
 ):
     """Collect `episodes` fully on device and keep them there: returns a
     DeviceTrajectoryBank whose rows never visited the host. Per chunk, the
     only readback is the done-flag matrix; rows are packed episode-major by
     one jitted gather. This replaces the reference's collect->LMDB->DataLoader
-    round trip (dagger_trainer.py:341-372, 539-567) with HBM residency."""
+    round trip (dagger_trainer.py:341-372, 539-567) with HBM residency.
+
+    With `mesh`, collection shards its env axis over the data mesh and the
+    bank is built mesh-REPLICATED (one all-gather per chunk at pack time):
+    every chip then holds the full bank, so training-batch gathers and the
+    DP train step's batch slice need no communication at all."""
     from vlnce_tpu.data.device_bank import DeviceTrajectoryBank
 
     T_max = int(config.TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS)
@@ -335,7 +375,7 @@ def collect_episodes_resident(
     all_lengths: List[int] = []
     shapes: Dict[str, tuple] = {}
     for real, arrays, pieces, done_before, feat_shapes in _chunk_rollouts(
-        policy, transforms, config, episodes, beta, rng
+        policy, transforms, config, episodes, beta, rng, mesh=mesh
     ):
         lengths = _episode_lengths(done_before, real, T_max)
         T_tot = sum(int(p["oracle"].shape[0]) for p in pieces)
@@ -349,11 +389,14 @@ def collect_episodes_resident(
         sel = np.pad(sel, (0, M - len(sel)))  # tail rows skipped by offsets
 
         keys = tuple(k for k in pieces[0] if k != "done_before")
-        pack_key = (len(pieces), T_cut, M, keys, B)
+        pack_key = (len(pieces), T_cut, M, keys, B,
+                    None if mesh is None else mesh.shape[DATA_AXIS])
         if pack_key not in _PACK_CACHE:
             while len(_PACK_CACHE) >= _PACK_CACHE_MAX:
                 _PACK_CACHE.pop(next(iter(_PACK_CACHE)))
-            _PACK_CACHE[pack_key] = _build_pack(len(pieces), T_cut, M, keys)
+            _PACK_CACHE[pack_key] = _build_pack(
+                len(pieces), T_cut, M, keys, mesh=mesh
+            )
         # sel ships with the dispatch (a separate eager jnp.asarray would be
         # its own round trip on a remote-attached chip)
         packed = _PACK_CACHE[pack_key](tuple(pieces), sel)
@@ -373,6 +416,7 @@ def collect_episodes_resident(
         row_chunks, prev_chunks, oracle_chunks, instr_chunks,
         all_lengths, shapes,
         instr_uuid=str(config.MODEL.INSTRUCTION_ENCODER.sensor_uuid),
+        mesh=mesh,
     )
     logger.info(
         f"device bank: {len(bank)} episodes, {bank.num_steps} steps, "

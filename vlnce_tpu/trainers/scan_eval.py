@@ -186,22 +186,11 @@ def _eval_mesh(policy, batch_size: int):
     cfg = getattr(policy, "config", None)
     if cfg is None or not hasattr(cfg, "TPU"):
         return None
-    from vlnce_tpu.parallel.mesh import DATA_AXIS, make_mesh, resolve_training_mesh
+    from vlnce_tpu.parallel.mesh import resolve_training_mesh, shrink_mesh_for_batch
 
-    mesh = resolve_training_mesh(cfg)
-    if mesh is None:
-        return None
-    n_data = mesh.shape[DATA_AXIS]
-    if batch_size % n_data == 0:
-        return mesh
-    g = math.gcd(batch_size, n_data)
-    if g <= 1:
-        return None
-    logger.warning(
-        f"scan-eval: SCAN_BATCH={batch_size} doesn't divide the {n_data}-way "
-        f"data mesh; using a {g}-way mesh"
+    return shrink_mesh_for_batch(
+        resolve_training_mesh(cfg), batch_size, tag="scan-eval"
     )
-    return make_mesh(num_devices=g)
 
 
 def run_scan_rollouts(
