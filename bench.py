@@ -596,24 +596,29 @@ def bench_recollect() -> None:
     policy = CMAPolicy.from_config(mcfg, space, gspaces.Discrete(4))
     policy.init_params(jax.random.PRNGKey(0), batch_size=2)
     optimizer = optax.adam(2.5e-4)
-    train_step = build_il_train_step(
-        policy.module, optimizer, policy.num_recurrent_layers, policy.hidden_size
-    )
+    # the train step unflattens the render's [T, N, F] emit inside its own
+    # jit (il_step obs_shapes) — built after the first render reports the
+    # post-transform shapes
+    train_step_holder = {}
 
     eps_batch = episodes[:8]
 
     def run_resident():
         t0 = time.perf_counter()
-        obs, prev, masks, corrected, weights = render_gt_batch_resident(
+        obs, prev, masks, corrected, weights, shapes = render_gt_batch_resident(
             mcfg, eps_batch, trajectories, 1.0
         )
+        if "fn" not in train_step_holder:
+            train_step_holder["fn"] = build_il_train_step(
+                policy.module, optimizer,
+                policy.num_recurrent_layers, policy.hidden_size,
+                obs_shapes=shapes,
+            )
         params = jax.tree_util.tree_map(lambda x: x + 0, policy.params)
         opt = optimizer.init(params)
-        T, Nb = corrected.shape
-        obs_tn = {k: jnp.asarray(v).reshape((T, Nb) + v.shape[1:]) for k, v in obs.items()}
-        params, opt, loss, _, _ = train_step(
-            params, opt, obs_tn,
-            jnp.asarray(prev).reshape(T, Nb), jnp.asarray(masks).reshape(T, Nb),
+        params, opt, loss, _, _ = train_step_holder["fn"](
+            params, opt, obs,
+            jnp.asarray(prev), jnp.asarray(masks),
             jnp.asarray(corrected), jnp.asarray(weights),
         )
         float(loss)  # readback barrier

@@ -596,8 +596,8 @@ def test_recollect_resident_matches_host_losses(tmp_path):
         rec = []
         orig = trainer._build_accum_step
 
-        def wrapped_build(apply, _orig=orig, _rec=rec):
-            step = _orig(apply)
+        def wrapped_build(apply, _orig=orig, _rec=rec, **kw):
+            step = _orig(apply, **kw)
 
             def step_recording(*a):
                 out = step(*a)
@@ -613,6 +613,45 @@ def test_recollect_resident_matches_host_losses(tmp_path):
 
     np.testing.assert_allclose(
         losses["resident"], losses["wire"], rtol=2e-3, atol=1e-4
+    )
+
+
+def test_recollect_resident_sharded_matches_single_device(tmp_path):
+    """Sharded resident recollection (render scan's env axis over a 4-way
+    data mesh, emitted batch leaves arriving env-sharded into the sharded
+    accum step) produces the same per-batch losses as the single-device
+    resident run."""
+    losses = {}
+    for tag, extra in (("single", []), ("sharded", ["TPU.MESH.DATA", 4])):
+        tmp = str(tmp_path / tag)
+        cfg = _recollect_cfg(tmp, [
+            "IL.epochs", 1,
+            "IL.batch_size", 4,
+            "IL.RECOLLECT_TRAINER.preload_size", 4,
+            "TPU.ON_DEVICE_RECOLLECT", True,
+            "TPU.RECOLLECT_RESIDENT", True,
+        ] + extra)
+        trainer = registry.get_trainer("recollect_trainer")(cfg)
+        rec = []
+        orig = trainer._build_accum_step
+
+        def wrapped_build(apply, _orig=orig, _rec=rec, **kw):
+            step = _orig(apply, **kw)
+
+            def step_recording(*a):
+                out = step(*a)
+                _rec.append(float(out[3]))
+                return out
+
+            return step_recording
+
+        trainer._build_accum_step = wrapped_build
+        trainer.train()
+        losses[tag] = np.asarray(rec)
+        assert len(rec) == 1  # 4 episodes / batch 4
+
+    np.testing.assert_allclose(
+        losses["sharded"], losses["single"], rtol=1e-4, atol=1e-6
     )
 
 

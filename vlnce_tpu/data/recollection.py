@@ -44,6 +44,13 @@ class TeacherRecollectionDataset:
         else:
             self.trajectories = self.collect_dataset()
         self._on_device = bool(getattr(config.TPU, "ON_DEVICE_RECOLLECT", False))
+        # resident: render feeds the jitted update directly, time-major
+        # [T, N, F] leaves; the trainer reads obs_shapes (set by the first
+        # render) to build its unflattening accum step
+        self.resident = self._on_device and bool(
+            getattr(config.TPU, "RECOLLECT_RESIDENT", False)
+        )
+        self.obs_shapes: Dict[str, tuple] = {}
         if self._on_device:
             self.initialize_device()
         else:
@@ -264,10 +271,26 @@ class TeacherRecollectionDataset:
         TPU.RECOLLECT_RESIDENT each batch is rendered on device and stays
         there (same episode order as the host/device episode iterators:
         dataset order, wrapping)."""
-        if self._on_device and bool(
-            getattr(self.config.TPU, "RECOLLECT_RESIDENT", False)
-        ):
+        if self.resident:
+            from vlnce_tpu.ops.obs_transforms import get_active_obs_transforms
+            from vlnce_tpu.parallel.mesh import DATA_AXIS, resolve_training_mesh
             from vlnce_tpu.trainers.device_recollect import render_gt_batch_resident
+            from vlnce_tpu.utils.logging import logger
+
+            transforms = get_active_obs_transforms(self.config)
+            # render, batch, and accum step must share ONE device set, so the
+            # mesh is all-or-nothing: the batch either divides the training
+            # mesh (render shards its env axis; emitted leaves arrive already
+            # env-sharded) or the render stays single-device and the sharded
+            # step reshards per batch
+            mesh = resolve_training_mesh(self.config)
+            if mesh is not None and self.batch_size % mesh.shape[DATA_AXIS] != 0:
+                logger.warning(
+                    f"TPU.RECOLLECT_RESIDENT: IL.batch_size={self.batch_size} "
+                    f"doesn't divide the {mesh.shape[DATA_AXIS]}-way data "
+                    f"mesh; rendering single-device (training stays sharded)"
+                )
+                mesh = None
 
             def ep_cycle():
                 while True:
@@ -276,10 +299,13 @@ class TeacherRecollectionDataset:
             it = ep_cycle()
             for _ in range(num_batches):
                 group = [next(it) for _ in range(self.batch_size)]
-                yield render_gt_batch_resident(
+                *batch, shapes = render_gt_batch_resident(
                     self.config, group, self.trajectories, self.coef,
                     instr_uuid=self._instr_uuid,
+                    transforms=transforms, mesh=mesh,
                 )
+                self.obs_shapes = shapes
+                yield tuple(batch)
             return
         it = self.episodes()
         for _ in range(num_batches):

@@ -32,16 +32,27 @@ from vlnce_tpu.parallel.mesh import DATA_AXIS
 
 
 def _il_loss_terms(module, params, obs_tn, prev_tn, masks_tn, corrected, weights,
-                   num_layers: int, hidden: int):
+                   num_layers: int, hidden: int, obs_shapes=None):
     """Inflection-weighted CE + aux losses in sum/count form.
 
     obs_tn: dict of [T, n, ...]; prev/masks/corrected/weights: [T, n].
     Returns (action_num, action_den, aux_num, aux_den) where the final losses
     are num/den with the denominators summed over all shards. Envs whose
     weights are all zero (padding) are excluded from both terms.
+
+    obs_shapes: optional {key: per-step shape} map for FLATTENED obs leaves
+    ([T, n, F] on the wire — scan-stacked image emits tile-pad their trailing
+    dims up to 128x in HBM, PERFORMANCE.md); the unflatten happens here,
+    inside the jit, where the reshape fuses (the same pattern as WDDPPO's
+    _obs_shapes, rl/ppo.py:88-95).
     """
     T, n = corrected.shape
-    obs_flat = {k: v.reshape((T * n,) + v.shape[2:]) for k, v in obs_tn.items()}
+    obs_flat = {}
+    for k, v in obs_tn.items():
+        full = v.reshape((T * n,) + v.shape[2:])
+        if obs_shapes and k in obs_shapes:
+            full = full.reshape((T * n,) + tuple(obs_shapes[k]))
+        obs_flat[k] = full
     rnn_states = jnp.zeros((n, num_layers, hidden), jnp.float32)
     logits, _, aux = module.apply(
         {"params": params}, obs_flat, rnn_states,
@@ -67,11 +78,13 @@ def _il_loss_terms(module, params, obs_tn, prev_tn, masks_tn, corrected, weights
     return action_num, action_den, aux_num, aux_den
 
 
-def _make_loss_and_grads(module, num_layers: int, hidden: int, mesh: Optional[Mesh]):
+def _make_loss_and_grads(module, num_layers: int, hidden: int, mesh: Optional[Mesh],
+                         obs_shapes=None):
     def loss_and_grads(params, obs_tn, prev_tn, masks_tn, corrected, weights):
         def loss_fn(p):
             a_num, a_den, x_num, x_den = _il_loss_terms(
-                module, p, obs_tn, prev_tn, masks_tn, corrected, weights, num_layers, hidden
+                module, p, obs_tn, prev_tn, masks_tn, corrected, weights, num_layers, hidden,
+                obs_shapes=obs_shapes,
             )
             if mesh is not None:
                 # global counts so every shard divides by the same denominator
@@ -102,13 +115,14 @@ def _make_loss_and_grads(module, num_layers: int, hidden: int, mesh: Optional[Me
 
 
 def build_il_train_step(module, optimizer, num_layers: int, hidden: int,
-                        mesh: Optional[Mesh] = None) -> Callable:
+                        mesh: Optional[Mesh] = None, obs_shapes=None) -> Callable:
     """Returns jitted fn(params, optim_state, obs_tn, prev[T,N], masks[T,N],
     corrected[T,N], weights[T,N]) -> (params, optim_state, loss, action_loss,
     aux_loss). Sharded over N when mesh is given; shape-polymorphic (jit
-    recompiles per (T, N))."""
+    recompiles per (T, N)). obs_shapes: in-jit unflatten map for [T, N, F]
+    wire-flattened obs leaves (see _il_loss_terms)."""
 
-    loss_and_grads = _make_loss_and_grads(module, num_layers, hidden, mesh)
+    loss_and_grads = _make_loss_and_grads(module, num_layers, hidden, mesh, obs_shapes)
 
     def train_step(params, optim_state, obs_tn, prev_tn, masks_tn, corrected, weights):
         grads, loss, action_loss, aux_loss = loss_and_grads(
@@ -122,11 +136,12 @@ def build_il_train_step(module, optimizer, num_layers: int, hidden: int,
 
 
 def build_il_accum_step(module, optimizer, num_layers: int, hidden: int,
-                        apply: bool, mesh: Optional[Mesh] = None) -> Callable:
+                        apply: bool, mesh: Optional[Mesh] = None,
+                        obs_shapes=None) -> Callable:
     """Gradient-accumulation variant (RecollectTrainer): adds grads/accum_scale
     into a device-resident pytree; applies Adam and zeroes it when `apply`."""
 
-    loss_and_grads = _make_loss_and_grads(module, num_layers, hidden, mesh)
+    loss_and_grads = _make_loss_and_grads(module, num_layers, hidden, mesh, obs_shapes)
 
     def accum_step(params, optim_state, accum_grads, accum_scale,
                    obs_tn, prev_tn, masks_tn, corrected, weights):

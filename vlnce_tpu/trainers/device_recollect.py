@@ -19,8 +19,11 @@ from typing import Dict, List, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
+from vlnce_tpu.parallel.mesh import DATA_AXIS
 from vlnce_tpu.envs.device_sim import (
+    SceneBatch,
     build_scene_batch,
     progress_batch,
     render_batch,
@@ -42,6 +45,7 @@ def render_gt_batch_resident(
     config, episodes: List, trajectories: Dict, coef: float,
     instr_uuid: str = "instruction",
     length_quantum: int = 16,
+    transforms=(), mesh=None,
 ):
     """One TRAINING batch rendered on device and kept there
     (TPU.RECOLLECT_RESIDENT): the render scan's output feeds the jitted IL
@@ -49,12 +53,24 @@ def render_gt_batch_resident(
     epoch (the host path wires every rendered frame back,
     recollect_trainer.py + this module's render_gt_episodes_on_device).
 
-    Returns the exact collate_episodes payload (data/collate.py:47-81):
-    obs dict [T*N, ...] (device), prev [T*N,1], masks [T*N,1],
-    corrected [T,N], weights [T,N]. Padded steps re-render the final pose
-    instead of the host's 1.0 fill — loss-identical because padded steps
-    carry zero inflection weight and the RNN is causal."""
+    The emit is TIME-MAJOR and WIRE-FLATTENED: obs leaves come out
+    [T_pad, B, F] with obs transforms already applied inside the scan body
+    (a full-shape [T*B, H, W, C] output buffer would tile-pad its trailing
+    dims on TPU, and per-leaf eager reshapes cost a dispatch round trip
+    each — PERFORMANCE.md); the train step unflattens inside its own jit
+    via the returned shapes map (il_step obs_shapes, the WDDPPO pattern).
+    Returns (obs [T,N,F], prev [T,N], masks [T,N], corrected [T,N],
+    weights [T,N], shapes). Padded steps re-render the final pose instead
+    of the host's 1.0 fill — loss-identical because padded steps carry zero
+    inflection weight and the RNN is causal.
+
+    With `mesh`, the render scan shards its env axis over the data mesh
+    (scenes/instructions/poses split, actions [T, B] sharded on B) and the
+    emitted batch leaves arrive already env-sharded on axis 1 — exactly the
+    layout the sharded accum step consumes, so render + encoder training
+    scale over chips with no resharding between them."""
     from vlnce_tpu.data.collate import inflection_weights, _pad_to
+    from vlnce_tpu.ops.obs_transforms import apply_obs_transforms_batch
 
     task_cfg = config.TASK_CONFIG
     specs = camera_specs_from_config(task_cfg.SIMULATOR)
@@ -76,24 +92,25 @@ def render_gt_batch_resident(
     for b, traj in enumerate(trajs):
         actions[: len(traj), b] = [step[1] for step in traj]
 
-    shapes: Dict[str, tuple] = {
-        s.uuid: (s.height, s.width, 3 if s.kind == "rgb" else 1) for s in specs
-    }
-    shapes["progress"] = (1,)
-
-    key = ("resident", tuple(specs), B, T_pad, forward_step, turn_angle,
-           tilt_angle, allow_sliding, instr_uuid)
-    if key not in _RENDER_CACHE:
+    key = ("resident-tm", tuple(specs), B, T_pad, forward_step, turn_angle,
+           tilt_angle, allow_sliding, instr_uuid,
+           tuple(type(t).__name__ for t in transforms),
+           None if mesh is None else mesh.shape[DATA_AXIS])
+    if key in _RENDER_CACHE:
+        rollout_jit, shapes = _RENDER_CACHE[key]
+    else:
+        shapes: Dict[str, tuple] = {}  # filled at trace time (post-transform)
 
         def rollout(scenes, pos0, heading0, acts, instr):
             def body(c, a):
                 pos, heading, tilt = c
                 obs = render_batch(scenes, pos, heading, specs, tilt=tilt)
                 obs["progress"] = progress_batch(scenes, pos)
-                # flattened emit (scan-stacked [T,B,H,W,1|3] would tile-pad
-                # HBM up to 128x — PERFORMANCE.md); reshaped below, inside
-                # the same jit
-                emit = {k: v.reshape((B, -1)) for k, v in obs.items()}
+                obs = apply_obs_transforms_batch(obs, transforms)
+                emit = {}
+                for k, v in obs.items():
+                    shapes[k] = tuple(v.shape[1:])
+                    emit[k] = v.reshape((B, -1))
                 pos2, heading2 = step_batch(
                     scenes, pos, heading, a, forward_step, turn_angle, allow_sliding
                 )
@@ -101,19 +118,23 @@ def render_gt_batch_resident(
                 return (pos2, heading2, tilt2), emit
 
             init = (pos0, heading0, jnp.zeros((B,), jnp.float32))
-            _, seq = jax.lax.scan(body, init, acts)
-            out = {
-                k: v.reshape((T_pad * B,) + shapes[k]) for k, v in seq.items()
-            }
-            out[instr_uuid] = jnp.broadcast_to(
-                instr[None], (T_pad,) + instr.shape
-            ).reshape((T_pad * B,) + instr.shape[1:])
-            return out
+            _, seq = jax.lax.scan(body, init, acts)  # leaves [T_pad, B, F]
+            seq[instr_uuid] = jnp.broadcast_to(instr[None], (T_pad,) + instr.shape)
+            return seq
 
+        if mesh is None:
+            rollout_jit = jax.jit(rollout)
+        else:
+            repl = NamedSharding(mesh, P())
+            env0 = NamedSharding(mesh, P(DATA_AXIS))
+            scenes_s = SceneBatch(*(env0 for _ in SceneBatch._fields))
+            acts_s = NamedSharding(mesh, P(None, DATA_AXIS))
+            rollout_jit = jax.jit(
+                rollout, in_shardings=(scenes_s, env0, env0, acts_s, env0)
+            )
         while len(_RENDER_CACHE) >= _RENDER_CACHE_MAX:
             _RENDER_CACHE.pop(next(iter(_RENDER_CACHE)))
-        _RENDER_CACHE[key] = jax.jit(rollout)
-    rollout_jit = _RENDER_CACHE[key]
+        _RENDER_CACHE[key] = (rollout_jit, shapes)
 
     arrays = _episode_batch_arrays(episodes, instr_uuid=instr_uuid, task_cfg=task_cfg)
     pos_d, heading_d, acts_d, instr_d = jax.device_put(
@@ -143,13 +164,7 @@ def render_gt_batch_resident(
     )
     masks = np.ones((T_pad, B), np.float32)
     masks[0] = 0.0
-    return (
-        obs,
-        prev.reshape(-1, 1),
-        masks.reshape(-1, 1),
-        corrected,
-        weights,
-    )
+    return obs, prev, masks, corrected, weights, dict(shapes)
 
 
 def render_gt_episodes_on_device(

@@ -33,17 +33,19 @@ from vlnce_tpu.utils.tensorboard import TensorboardWriter
 class RecollectTrainer(BaseVLNCETrainer):
     def __init__(self, config):
         super().__init__(config)
-        self._step_cache: Dict[bool, any] = {}
+        self._step_cache: Dict = {}  # apply-flag (host path) or (apply, "resident")
 
-    def _build_accum_step(self, apply: bool):
+    def _build_accum_step(self, apply: bool, obs_shapes=None):
         """Shared IL accumulation step (parallel/il_step.py): sharded over the
-        env/batch axis when a data-parallel mesh is active."""
+        env/batch axis when a data-parallel mesh is active. obs_shapes:
+        in-jit unflatten map for resident batches whose obs arrive
+        wire-flattened [T, N, F] (device_recollect render emit)."""
         from vlnce_tpu.parallel.il_step import build_il_accum_step
 
         return build_il_accum_step(
             self.policy.module, self.optimizer,
             self.policy.num_recurrent_layers, self.policy.hidden_size,
-            apply=apply, mesh=self.mesh,
+            apply=apply, mesh=self.mesh, obs_shapes=obs_shapes,
         )
 
     def train(self) -> None:
@@ -93,18 +95,38 @@ class RecollectTrainer(BaseVLNCETrainer):
                     observations, prev_actions, masks, corrected, weights = batch
                     T, N = corrected.shape
                     apply = accumulation == 1 or (batch_idx + 1) % accumulation == 0
-                    if apply not in self._step_cache:
-                        self._step_cache[apply] = self._build_accum_step(apply)
-                    obs_dev = apply_obs_transforms_batch(
-                        {k: jnp.asarray(v) for k, v in observations.items()}, self.obs_transforms
-                    )
-                    dev_batch = (
-                        {k: v.reshape((T, N) + v.shape[1:]) for k, v in obs_dev.items()},
-                        jnp.asarray(prev_actions).reshape(T, N),
-                        jnp.asarray(masks).reshape(T, N),
-                        jnp.asarray(corrected),
-                        jnp.asarray(weights),
-                    )
+                    if dataset.resident:
+                        # device-rendered batch, already time-major with
+                        # transforms applied inside the render scan; obs
+                        # leaves are wire-flattened [T, N, F] and unflatten
+                        # INSIDE the jitted step (no per-leaf eager reshape
+                        # dispatches, no tile-padded [T*N, H, W, C] buffers)
+                        step_key = (apply, "resident")
+                        if step_key not in self._step_cache:
+                            self._step_cache[step_key] = self._build_accum_step(
+                                apply, obs_shapes=dataset.obs_shapes
+                            )
+                        dev_batch = (
+                            observations,
+                            jnp.asarray(prev_actions),
+                            jnp.asarray(masks),
+                            jnp.asarray(corrected),
+                            jnp.asarray(weights),
+                        )
+                    else:
+                        step_key = apply
+                        if step_key not in self._step_cache:
+                            self._step_cache[step_key] = self._build_accum_step(apply)
+                        obs_dev = apply_obs_transforms_batch(
+                            {k: jnp.asarray(v) for k, v in observations.items()}, self.obs_transforms
+                        )
+                        dev_batch = (
+                            {k: v.reshape((T, N) + v.shape[1:]) for k, v in obs_dev.items()},
+                            jnp.asarray(prev_actions).reshape(T, N),
+                            jnp.asarray(masks).reshape(T, N),
+                            jnp.asarray(corrected),
+                            jnp.asarray(weights),
+                        )
                     if self.mesh is not None:
                         from vlnce_tpu.parallel.il_step import prepare_global_batch
 
@@ -112,7 +134,7 @@ class RecollectTrainer(BaseVLNCETrainer):
                     (
                         self.policy.params, self.optim_state, accum_grads,
                         loss, action_loss, aux_loss,
-                    ) = self._step_cache[apply](
+                    ) = self._step_cache[step_key](
                         self.policy.params, self.optim_state, accum_grads, float(accumulation),
                         *dev_batch,
                     )
