@@ -125,6 +125,11 @@ _C.TPU.PAD_ENV_BATCH = True
 # upload) when it has at most this many episodes; larger splits fall back to
 # re-uploading the per-rollout episode queue (~65KB/episode of HBM when on)
 _C.TPU.EPISODE_BANK_MAX = 8192
+# checkpoint writes: device snapshot is one batched transfer; with this on,
+# msgpack serialization + file IO run in a background thread (atomic tmp+
+# rename either way, so eval-many pollers never see a torn file). Trainers
+# join the writer when their train loop ends (utils/checkpoints.py)
+_C.TPU.ASYNC_CHECKPOINT = True
 _C.TPU.PROFILE_DIR = ""  # if set, write jax.profiler traces here
 
 # ---------------------------------------------------------------------------

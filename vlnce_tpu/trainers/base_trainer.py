@@ -156,6 +156,9 @@ class BaseVLNCETrainer:
         save_checkpoint(
             path, self.policy.params, config=self.config,
             optim_state=self.optim_state, extra_state=extra_state,
+            # serialization + file IO overlap the next training steps; the
+            # device snapshot itself is synchronous (params mutate next step)
+            async_write=bool(getattr(self.config.TPU, "ASYNC_CHECKPOINT", False)),
         )
 
     @staticmethod

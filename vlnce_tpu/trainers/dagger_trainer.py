@@ -125,6 +125,11 @@ class DaggerTrainer(BaseVLNCETrainer):
                     )
                 if reader is not None:
                     reader.close()
+        # join any in-flight async checkpoint write: callers may load the
+        # last checkpoint the moment train() returns
+        from vlnce_tpu.utils.checkpoints import wait_for_pending
+
+        wait_for_pending()
 
     def _collection_plan(self, data_it: int):
         """The episode slice and beta shared by every device collection mode

@@ -324,6 +324,10 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
 
         if self.envs is not None:
             self.envs.close()
+        # join any in-flight async checkpoint write before returning
+        from vlnce_tpu.utils.checkpoints import wait_for_pending
+
+        wait_for_pending()
 
     def save_rl_checkpoint(self, name: str, update: int, count_steps: int) -> None:
         save_checkpoint(
@@ -331,9 +335,11 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
             self.policy.params, config=self.config,
             optim_state=self.agent.optim_state,
             extra_state={"update": update, "count_steps": count_steps},
+            async_write=bool(getattr(self.config.TPU, "ASYNC_CHECKPOINT", False)),
         )
 
     def _save_interrupted_state(self, update: int, count_steps: int) -> None:
+        # synchronous: the process exits for requeue right after this write
         save_checkpoint(
             self.config.RL.DDPPO.requeue_path,
             self.policy.params, config=self.config,

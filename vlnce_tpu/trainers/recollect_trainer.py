@@ -152,3 +152,7 @@ class RecollectTrainer(BaseVLNCETrainer):
                     extra_state={"epoch": epoch, "step_id": self.step_id},
                 )
         dataset.close_sims()
+        # join any in-flight async checkpoint write before returning
+        from vlnce_tpu.utils.checkpoints import wait_for_pending
+
+        wait_for_pending()
