@@ -169,3 +169,95 @@ def test_generate_and_scan_eval_with_bank(tmp_path, monkeypatch):
     assert os.path.exists(fname)
     with open(fname) as f:
         json.load(f)
+
+
+@pytest.mark.slow
+def test_resident_dagger_with_bank_matches_expert_trajectories(tmp_path, monkeypatch):
+    """Resident DAgger collection with TPU.FEATURE_BANK_DIR consumes bank
+    lookups instead of raycasts (real scenes on the fused collect->train
+    loop). The device expert steers off the scene geometry, not the
+    observations, so at beta=1 the collected trajectories (lengths, oracle
+    and prev-action rows) are IDENTICAL to the render-driven collection;
+    only the recorded features change — to the bank's own shapes/values."""
+    import sys
+
+    from gymnasium import spaces as gspaces
+
+    import vlnce_tpu.models  # noqa: F401
+    import vlnce_tpu.tasks  # noqa: F401
+    import vlnce_tpu.trainers  # noqa: F401
+    from vlnce_tpu.config import get_config
+    from vlnce_tpu.envs import ensure_registered
+    from vlnce_tpu.models.seq2seq_policy import Seq2SeqPolicy
+    from vlnce_tpu.ops.obs_transforms import get_active_obs_transforms
+    from vlnce_tpu.tasks.datasets import make_dataset
+    from vlnce_tpu.trainers.device_dagger import collect_episodes_resident
+
+    ensure_registered()
+    tmp = str(tmp_path)
+    bank_dir = f"{tmp}/banks"
+    common_opts = [
+        "TASK_CONFIG.DATASET.NUM_EPISODES", "4",
+        "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "6",
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT", str(IMG),
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH", str(IMG),
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT", str(IMG),
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH", str(IMG),
+        "IL.DAGGER.lmdb_features_dir", f"{tmp}/traj",
+        "CHECKPOINT_FOLDER", f"{tmp}/ckpts",
+    ]
+
+    from scripts.generate_feature_bank import main as gen_main
+
+    monkeypatch.setattr(sys, "argv", [
+        "generate_feature_bank.py",
+        "--exp-config", "vlnce_tpu/config/experiments/synthetic/smoke_seq2seq.yaml",
+        "--bank-dir", bank_dir,
+        "--headings", "8",
+        "--spacing", "4.0",
+        "--chunk", "64",
+    ] + common_opts)
+    gen_main()
+
+    banks = {}
+    for tag, extra in (("render", []), ("bank", ["TPU.FEATURE_BANK_DIR", bank_dir])):
+        cfg = get_config(
+            "vlnce_tpu/config/experiments/synthetic/smoke_seq2seq.yaml",
+            opts=common_opts + [
+                "NUM_ENVIRONMENTS", 2,
+                "TPU.ON_DEVICE_DAGGER", True,
+                "TPU.DAGGER_RESIDENT", True,
+            ] + extra,
+        )
+        episodes = list(
+            make_dataset("Synthetic-VLN-v0", cfg.TASK_CONFIG.DATASET).episodes
+        )[:4]
+        space = gspaces.Dict({
+            "rgb": gspaces.Box(0, 255, (IMG, IMG, 3), np.uint8),
+            "depth": gspaces.Box(0, 1, (IMG, IMG, 1), np.float32),
+            "instruction": gspaces.Box(0, 10000, (200,), np.int32),
+            "progress": gspaces.Box(0, 1, (1,), np.float32),
+        })
+        policy = Seq2SeqPolicy.from_config(cfg, space, gspaces.Discrete(4))
+        policy.init_params(jax.random.PRNGKey(0), batch_size=2)
+        banks[tag] = collect_episodes_resident(
+            policy, get_active_obs_transforms(cfg), cfg, episodes, 1.0,
+            jax.random.PRNGKey(7),
+        )
+
+    render_b, bank_b = banks["render"], banks["bank"]
+    np.testing.assert_array_equal(render_b.lengths, bank_b.lengths)
+    oracle_r, oracle_k = np.asarray(render_b.oracle), np.asarray(bank_b.oracle)
+    prev_r, prev_k = np.asarray(render_b.prev), np.asarray(bank_b.prev)
+    for e in range(len(render_b)):
+        lr, lk = int(render_b.offsets[e]), int(bank_b.offsets[e])
+        T = int(render_b.lengths[e])
+        np.testing.assert_array_equal(oracle_r[lr:lr + T], oracle_k[lk:lk + T])
+        np.testing.assert_array_equal(prev_r[lr:lr + T], prev_k[lk:lk + T])
+
+    # the recorded features are the bank's own (shape from the npz metadata)
+    from vlnce_tpu.data.feature_bank import load_bank_shapes
+
+    rgb_shape, depth_shape = load_bank_shapes(bank_dir, episodes[0])
+    assert tuple(bank_b.feat_shapes["rgb_features"]) == tuple(rgb_shape)
+    assert tuple(bank_b.feat_shapes["depth_features"]) == tuple(depth_shape)

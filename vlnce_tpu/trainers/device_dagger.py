@@ -22,6 +22,15 @@ Enabled by `TPU.ON_DEVICE_DAGGER = True` (+ `TPU.DAGGER_RESIDENT` for the
 bank path); requires GridWorldSim-v0 and a token-instruction task (the R2R
 DAgger setting).
 
+With `TPU.FEATURE_BANK_DIR` set, the per-step raycast is replaced by a
+precomputed-feature-bank lookup (data/feature_bank.py) — the route by which
+real MP3D scenes ride this loop once assets land, same as sharded scan-eval.
+The looked-up frozen features are what gets recorded (the policy consumes
+them through the encoders' precompute bypass), and the device expert is
+unaffected (it steers off scene geometry, not observations): at beta=1 the
+collected trajectories are identical to the render-driven collection
+(tests/test_feature_bank.py).
+
 Episode SELECTION note: this path collects the first `update_size`
 episodes in dataset order, while the host env pool draws from per-process
 scene-split iterators (envs/env_utils.py). Collection is per-episode
@@ -131,18 +140,41 @@ def _chunk_rollouts(
     # of padded steps per env — the first cut of this path did exactly that
     # and was readback-bound at 16 steps/s on a remote-attached chip
     seg_len = max(1, min(int(getattr(config.TPU, "DAGGER_SEGMENT", 32)), T_max))
+
+    # precomputed-feature-bank mode (TPU.FEATURE_BANK_DIR): real scenes on
+    # the device collection loop — the per-step raycast is replaced by a
+    # bank lookup (data/feature_bank.py), exactly as in sharded scan-eval;
+    # the looked-up frozen features are also what the trajectory bank/store
+    # records (the policy's precompute bypass consumes them directly)
+    bank_dir = str(getattr(config.TPU, "FEATURE_BANK_DIR", "") or "")
+    bank_shapes = None
+    if bank_dir:
+        from vlnce_tpu.data.feature_bank import load_bank_shapes
+
+        bank_shapes = load_bank_shapes(bank_dir, episodes[0])
+
     cache_key = (
         tuple(specs), B, seg_len, T_max, store_f16,
         goal_radius, turn_angle, forward_step, allow_sliding,
         tuple(type(t).__name__ for t in transforms), instr_uuid,
         None if mesh is None else mesh.shape[DATA_AXIS],
+        bank_shapes,
     )
     feat_shapes: Dict[str, tuple] = {}  # filled at trace time
 
-    def segment(params, scenes: SceneBatch, expert_field, goal_xz, instruction, carry, rng_, beta_):
+    def segment(params, scenes: SceneBatch, expert_field, goal_xz, instruction, carry, rng_, beta_, bank=None):
         def body(c, t):
             pos, heading, rnn, prev_a, done, g = c
-            obs = render_batch(scenes, pos, heading, specs)
+            if bank_shapes is not None:
+                from vlnce_tpu.data.feature_bank import (
+                    FeatureBankBatch, lookup_features,
+                )
+
+                obs = lookup_features(
+                    FeatureBankBatch(*bank, *bank_shapes), pos, heading
+                )
+            else:
+                obs = render_batch(scenes, pos, heading, specs)
             obs[instr_uuid] = instruction
             obs["progress"] = progress_batch(scenes, pos)
             batch = apply_obs_transforms_batch(obs, transforms)
@@ -151,6 +183,13 @@ def _chunk_rollouts(
             action, rnn2, feats = policy._act_features_impl(
                 params, batch, rnn, prev_a, mask, rng_act, False
             )
+            if bank_shapes is not None:
+                # the encoders consumed precomputed features (no sow); the
+                # bank lookup itself IS the frozen-feature payload to record
+                feats = {
+                    k: batch[k] for k in ("rgb_features", "depth_features")
+                    if k in batch
+                }
             expert = jax.vmap(
                 lambda o, f, g, p, h: expert_action(
                     o, f, g, p, h, goal_radius, turn_angle
@@ -208,16 +247,17 @@ def _chunk_rollouts(
         cache[cache_key] = (segment_jit, feat_shapes)
     else:
         # env axis over the data mesh: params/rng/beta replicated, every
-        # per-env tensor (scenes, expert field, goal, instruction, carry)
-        # sharded on its B axis — identical to sharded scan-eval
-        # (trainers/scan_eval.py) and the rollout collector
+        # per-env tensor (scenes, expert field, goal, instruction, carry,
+        # bank arrays) sharded on its B axis — identical to sharded
+        # scan-eval (trainers/scan_eval.py) and the rollout collector
         repl = NamedSharding(mesh, P())
         env0 = NamedSharding(mesh, P(DATA_AXIS))
         scenes_s = SceneBatch(*(env0 for _ in SceneBatch._fields))
         carry_s = (env0, env0, env0, env0, env0, repl)  # g replicated
-        segment_jit = jax.jit(segment, in_shardings=(
-            repl, scenes_s, env0, env0, env0, carry_s, repl, repl
-        ))
+        shardings = (repl, scenes_s, env0, env0, env0, carry_s, repl, repl)
+        if bank_shapes is not None:
+            shardings = shardings + ((env0, env0, env0),)
+        segment_jit = jax.jit(segment, in_shardings=shardings)
         while len(cache) >= _CACHE_MAX:
             cache.pop(next(iter(cache)))
         cache[cache_key] = (segment_jit, feat_shapes)
@@ -243,6 +283,17 @@ def _chunk_rollouts(
         ))
         scenes = build_scene_batch(chunk)
         seg_args = (policy.params, scenes, ef_d, gxz_d, instr_d)
+        seg_extra = ()
+        if bank_shapes is not None:
+            from vlnce_tpu.data.feature_bank import load_bank_batch
+
+            bank = load_bank_batch(bank_dir, chunk)
+            if (bank.rgb_shape, bank.depth_shape) != bank_shapes:
+                raise RuntimeError(
+                    f"feature-bank shapes changed across chunks: "
+                    f"{(bank.rgb_shape, bank.depth_shape)} vs {bank_shapes}"
+                )
+            seg_extra = ((bank.node_pos, bank.rgb, bank.depth),)
         # segments until every episode stopped (or the step cap)
         pieces: List[Dict] = []
         done_rows: List[np.ndarray] = []
@@ -250,7 +301,7 @@ def _chunk_rollouts(
         beta_np = np.float32(beta)  # numpy scalar: ships with the dispatch,
         # no standalone eager upload (a round trip per call on remote chips)
         while t < T_max:
-            carry, seg = segment_jit(*seg_args, carry, chunk_rng, beta_np)
+            carry, seg = segment_jit(*seg_args, carry, chunk_rng, beta_np, *seg_extra)
             # ONE tiny readback per segment: per-step done flags + the
             # after-segment done state, bundled into a single device_get
             done_b4, done_after = jax.device_get((seg["done_before"], carry[4]))
