@@ -57,3 +57,23 @@ def test_global_max_time_padding_single_process():
     assert np.all(w[T:] == 0.0)
     np.testing.assert_array_equal(w[:T], np.asarray(weights))
     np.testing.assert_array_equal(np.asarray(padded[2])[T:], 1.0)
+
+
+def test_two_process_resident_dagger_rank_sharded(tmp_path):
+    """Pod smoke for the fused resident pipeline: two ranks each run a full
+    DaggerTrainer.train() with TPU.DAGGER_RESIDENT — rank-strided episode
+    collection on local devices, HBM banks per rank, global sharded updates
+    stitched by prepare_global_batch. Ranks must collect DISJOINT episode
+    shards covering the plan, agree on the (replicated) final loss, and
+    finish with finite losses."""
+    from vlnce_tpu.parallel.mp_smoke import launch_two_process_resident_dagger
+
+    results = launch_two_process_resident_dagger(local_devices=4)
+    (loss0, n0, ids0), (loss1, n1, ids1) = results
+    assert np.isfinite(loss0) and np.isfinite(loss1)
+    # the global psum'd loss is replicated across ranks
+    np.testing.assert_allclose(loss0, loss1, rtol=1e-6)
+    # rank-strided collection: disjoint shards covering all 4 episodes
+    assert n0 == 2 and n1 == 2
+    assert not (set(ids0) & set(ids1))
+    assert len(set(ids0) | set(ids1)) == 4

@@ -179,6 +179,15 @@ class TeacherRecollectionDataset:
         self._device_episodes = [
             ep for ep in dataset.episodes if ep.episode_id in wanted
         ]
+        # multi-process: each rank re-renders its strided episode shard
+        # (the device analog of per-process scene-split env pools); the
+        # sharded accum step stitches the ranks' batches globally
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            self._device_episodes = self._device_episodes[
+                _jax.process_index() :: _jax.process_count()
+            ]
         self.length = len(self._device_episodes)
         mc = self.config.MODEL.INSTRUCTION_ENCODER
         self._instr_uuid = str(getattr(mc, "sensor_uuid", "instruction"))
@@ -282,9 +291,15 @@ class TeacherRecollectionDataset:
             # mesh is all-or-nothing: the batch either divides the training
             # mesh (render shards its env axis; emitted leaves arrive already
             # env-sharded) or the render stays single-device and the sharded
-            # step reshards per batch
+            # step reshards per batch. Under multi-process JAX each rank
+            # renders its own episode shard locally (host arrays cannot feed
+            # a global-mesh jit); prepare_global_batch stitches the ranks
+            import jax as _jax
+
             mesh = resolve_training_mesh(self.config)
-            if mesh is not None and self.batch_size % mesh.shape[DATA_AXIS] != 0:
+            if mesh is not None and _jax.process_count() > 1:
+                mesh = None
+            elif mesh is not None and self.batch_size % mesh.shape[DATA_AXIS] != 0:
                 logger.warning(
                     f"TPU.RECOLLECT_RESIDENT: IL.batch_size={self.batch_size} "
                     f"doesn't divide the {mesh.shape[DATA_AXIS]}-way data "

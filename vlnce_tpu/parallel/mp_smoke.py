@@ -117,6 +117,9 @@ def worker_main() -> None:
     from vlnce_tpu.parallel.distributed import init_distributed
 
     assert init_distributed(), "expected multi-process init from env"
+    if os.environ.get("MP_SMOKE_MODE") == "resident_dagger":
+        _worker_resident_dagger()
+        return
     nproc = jax.process_count()
     assert N_GLOBAL % nproc == 0
     per = N_GLOBAL // nproc
@@ -125,12 +128,95 @@ def worker_main() -> None:
     print(f"MP_LOSS {pid} {loss!r} {action_loss!r} {aux_loss!r}", flush=True)
 
 
-def launch_two_process(
-    local_devices: int = 4, timeout: float = 420.0,
+def _worker_resident_dagger() -> None:
+    """Pod smoke for the fused resident DAgger pipeline: each rank collects
+    its strided episode shard locally (DaggerTrainer._collection_plan rank
+    split), banks it in HBM, and the sharded production update assembles
+    global batches from the per-rank banks (prepare_global_batch). Prints
+    the final loss and the rank's bank episode ids."""
+    import tempfile
+
+    import jax
+
+    import vlnce_tpu.tasks  # noqa: F401
+    import vlnce_tpu.models  # noqa: F401
+    import vlnce_tpu.trainers  # noqa: F401
+    from vlnce_tpu.config import get_config
+    from vlnce_tpu.envs import ensure_registered
+    from vlnce_tpu.envs import rl_envs  # noqa: F401  (registers VLNCEDaggerEnv)
+    from vlnce_tpu.registry import registry
+
+    ensure_registered()
+    pid = jax.process_index()
+    img = 16
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = get_config(opts=[
+            "BASE_TASK_CONFIG_PATH", "vlnce_tpu/tasks/config/vlnce_task.yaml",
+            "TASK_CONFIG.DATASET.TYPE", "Synthetic-VLN-v0",
+            "TASK_CONFIG.DATASET.NUM_EPISODES", 4,
+            "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", 6,
+            "TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT", img,
+            "TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH", img,
+            "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT", img,
+            "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH", img,
+            "NUM_ENVIRONMENTS", 2,
+            "TENSORBOARD_DIR", "",
+            "CHECKPOINT_FOLDER", f"{tmp}/ckpts",
+            "MODEL.DEPTH_ENCODER.backbone", "resnet18",
+            "MODEL.RGB_ENCODER.cnn_type", "TorchVisionResNet18",
+            "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", False,
+            "MODEL.INSTRUCTION_ENCODER.vocab_size", 64,
+            "IL.epochs", 1,
+            "IL.batch_size", 2,
+            "IL.DAGGER.iterations", 1,
+            "IL.DAGGER.update_size", 4,
+            "IL.DAGGER.p", 1.0,
+            "IL.DAGGER.lmdb_features_dir", f"{tmp}/traj",
+            "TPU.ON_DEVICE_DAGGER", True,
+            "TPU.DAGGER_RESIDENT", True,
+        ])
+        trainer = registry.get_trainer("dagger")(cfg)
+        rec = []
+        orig = trainer._update_agent
+
+        def wrapped(*a, _orig=orig, **kw):
+            out = _orig(*a, **kw)
+            rec.append(out)
+            return out
+
+        trainer._update_agent = wrapped
+        trainer.train()
+        episodes, _ = trainer._collection_plan(1)
+        ids = ",".join(ep.episode_id for ep in episodes)
+        print(f"MP_RESIDENT {pid} {rec[-1][0]!r} {len(trainer._bank)} {ids}", flush=True)
+
+
+def launch_two_process_resident_dagger(
+    local_devices: int = 4, timeout: float = 600.0,
     repo_root: Optional[str] = None,
-) -> List[Tuple[float, float, float]]:
-    """Spawn 2 ranks x `local_devices` virtual CPU devices each, run the
-    sharded production update, and return each rank's (loss, action, aux)."""
+) -> List[Tuple[float, int, List[str]]]:
+    """Spawn 2 ranks, run a full resident-DAgger train() each (rank-sliced
+    collection, sharded global update), and return per-rank
+    (final_loss, bank_episodes, episode_ids)."""
+    outs = _launch_ranks(
+        local_devices, timeout, repo_root, extra_env={"MP_SMOKE_MODE": "resident_dagger"}
+    )
+    results: List[Tuple[float, int, List[str]]] = [None, None]  # type: ignore
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MP_RESIDENT"):
+                _, rank, loss, n_eps, ids = line.split()
+                results[int(rank)] = (float(loss), int(n_eps), ids.split(","))
+    assert all(r is not None for r in results), f"missing MP_RESIDENT lines:\n{outs}"
+    return results
+
+
+def _launch_ranks(
+    local_devices: int, timeout: float, repo_root: Optional[str],
+    extra_env: Optional[dict] = None,
+) -> List[str]:
+    """Spawn 2 rank subprocesses x `local_devices` virtual CPU devices each
+    and return their combined stdout/stderr (raises on nonzero exit)."""
     port = _free_port()
     if repo_root is None:
         repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -146,6 +232,7 @@ def launch_two_process(
             PYTHONPATH=repo_root + os.pathsep + env.get("PYTHONPATH", ""),
             TF_CPP_MIN_LOG_LEVEL="3",
         )
+        env.update(extra_env or {})
         procs.append(
             subprocess.Popen(
                 [sys.executable, "-m", "vlnce_tpu.parallel.mp_smoke"],
@@ -154,10 +241,21 @@ def launch_two_process(
             )
         )
     outs = [p.communicate(timeout=timeout)[0].decode() for p in procs]
-    results: List[Tuple[float, float, float]] = [None, None]  # type: ignore
     for pid, (p, out) in enumerate(zip(procs, outs)):
         if p.returncode != 0:
             raise RuntimeError(f"mp_smoke rank {pid} failed:\n{out}")
+    return outs
+
+
+def launch_two_process(
+    local_devices: int = 4, timeout: float = 420.0,
+    repo_root: Optional[str] = None,
+) -> List[Tuple[float, float, float]]:
+    """Spawn 2 ranks x `local_devices` virtual CPU devices each, run the
+    sharded production update, and return each rank's (loss, action, aux)."""
+    outs = _launch_ranks(local_devices, timeout, repo_root)
+    results: List[Tuple[float, float, float]] = [None, None]  # type: ignore
+    for out in outs:
         for line in out.splitlines():
             if line.startswith("MP_LOSS"):
                 _, rank, l, a, x = line.split()

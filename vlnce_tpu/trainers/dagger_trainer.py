@@ -136,7 +136,15 @@ class DaggerTrainer(BaseVLNCETrainer):
         (resident bank and store-wired): beta follows the reference schedule
         p**iteration (reference dagger_trainer.py:414-418); episodes are the
         first update_size in dataset order. One definition, so the resident
-        and store paths can never silently diverge on selection or mixing."""
+        and store paths can never silently diverge on selection or mixing.
+
+        Under multi-process JAX each rank takes its STRIDED slice of the
+        plan (rank::nproc — keeps per-rank scene diversity), so processes
+        collect disjoint shards instead of duplicating work — the device
+        analog of the host env pool's per-process scene-split iterators and
+        the reference's DistributedSampler."""
+        import jax as _jax
+
         from vlnce_tpu.tasks.datasets import make_dataset
 
         config = self.config
@@ -146,6 +154,8 @@ class DaggerTrainer(BaseVLNCETrainer):
             config.TASK_CONFIG.DATASET.TYPE, config.TASK_CONFIG.DATASET
         )
         episodes = list(dataset.episodes)[: int(config.IL.DAGGER.update_size)]
+        if _jax.process_count() > 1:
+            episodes = episodes[_jax.process_index() :: _jax.process_count()]
         return episodes, beta
 
     def _resident_mesh(self):
@@ -154,8 +164,24 @@ class DaggerTrainer(BaseVLNCETrainer):
         error in JAX, not a reshard) — so the env axis either divides the
         training mesh or collection falls back to single-device (the bank
         arrays stay uncommitted and the train step reshards per batch, the
-        pre-sharding behavior)."""
+        pre-sharding behavior).
+
+        Under multi-process JAX the collection scan cannot feed host arrays
+        into a global-mesh jit at all: each process collects its RANK SLICE
+        of the episode plan (see _collection_plan) on its local devices and
+        the sharded train step assembles global batches from the per-process
+        banks through prepare_global_batch — the same per-rank-shard
+        topology as the reference's DistributedSampler feeding DDP."""
         if self.mesh is None:
+            return None
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            logger.info(
+                "TPU.DAGGER_RESIDENT under multi-process JAX: collecting "
+                "per-process rank slices locally; the sharded train step "
+                "stitches global batches"
+            )
             return None
         from vlnce_tpu.parallel.mesh import DATA_AXIS
 
