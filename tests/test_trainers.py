@@ -343,6 +343,30 @@ def test_recollect_trainer_end_to_end(tmp_path):
     assert os.path.exists(f"{tmp}/ckpts/ckpt.0.ckpt")
 
 
+def test_recollect_device_episodes_rank_split(tmp_path, monkeypatch):
+    """Under multi-process JAX each rank re-renders a strided, disjoint
+    episode shard (recollection.py initialize_device) — the two fake ranks'
+    lists must partition the single-process list."""
+    from vlnce_tpu.data.recollection import TeacherRecollectionDataset
+
+    cfg = _recollect_cfg(str(tmp_path), ["TPU.ON_DEVICE_RECOLLECT", True])
+    full = TeacherRecollectionDataset(cfg)
+    all_ids = [ep.episode_id for ep in full._device_episodes]
+    assert len(all_ids) == 4
+
+    shards = {}
+    for rank in (0, 1):
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
+        ds = TeacherRecollectionDataset(cfg)
+        shards[rank] = [ep.episode_id for ep in ds._device_episodes]
+        assert ds.length == 2
+    monkeypatch.undo()
+    assert shards[0] == all_ids[0::2]
+    assert shards[1] == all_ids[1::2]
+    assert not (set(shards[0]) & set(shards[1]))
+
+
 def test_recollect_on_device_matches_host_episodes(tmp_path):
     """TPU.ON_DEVICE_RECOLLECT re-renders GT trajectories on device; the
     yielded episodes match the env-pool re-simulation: identical GT action
