@@ -18,6 +18,12 @@ from vlnce_tpu.utils.checkpoints import (
 )
 
 
+def _tmp_leftovers(path):
+    import glob
+
+    return glob.glob(path + ".tmp*")
+
+
 def _tree():
     return {
         "layer": {"kernel": np.arange(12, dtype=np.float32).reshape(3, 4)},
@@ -34,7 +40,7 @@ def test_sync_roundtrip_atomic(tmp_path):
     path = str(tmp_path / "ckpt.0.ckpt")
     save_checkpoint(path, _tree(), extra_state={"epoch": 3})
     assert os.path.exists(path)
-    assert not os.path.exists(path + ".tmp")  # temp renamed away, never left
+    assert not _tmp_leftovers(path)  # temp renamed away, never left
     ckpt = load_checkpoint(path)
     _assert_tree_equal(ckpt, _tree())
     assert ckpt["extra_state"]["epoch"] == 3
@@ -52,7 +58,7 @@ def test_async_roundtrip_and_ordering(tmp_path):
     wait_for_pending()
     ckpt = load_checkpoint(path)
     np.testing.assert_array_equal(ckpt["state_dict"]["bias"], second["bias"])
-    assert not os.path.exists(path + ".tmp")
+    assert not _tmp_leftovers(path)
 
 
 def test_async_snapshot_isolated_from_mutation(tmp_path):

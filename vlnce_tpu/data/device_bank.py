@@ -252,14 +252,16 @@ class DeviceTrajectoryBank:
 
     @classmethod
     def from_store(cls, reader, instr_uuid: str = "instruction",
-                   mesh=None) -> "DeviceTrajectoryBank":
+                   mesh=None, indices=None) -> "DeviceTrajectoryBank":
         """Upload a whole trajectory store once (preload_lmdb_features with
         the resident trainer): one device_put for all rows (mesh-replicated
-        when a data mesh is active)."""
+        when a data mesh is active). `indices` selects an episode subset —
+        multi-process trainers pass their rank slice so each process banks
+        only its shard."""
         host_rows: Dict[str, List[np.ndarray]] = {}
         prev_rows, oracle_rows, instrs, lengths = [], [], [], []
         feat_shapes: Dict[str, tuple] = {}
-        for i in range(len(reader)):
+        for i in (range(len(reader)) if indices is None else indices):
             obs, prev, oracle = reader.get(i)
             T = len(prev)
             lengths.append(T)

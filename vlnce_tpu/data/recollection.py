@@ -179,15 +179,13 @@ class TeacherRecollectionDataset:
         self._device_episodes = [
             ep for ep in dataset.episodes if ep.episode_id in wanted
         ]
-        # multi-process: each rank re-renders its strided episode shard
-        # (the device analog of per-process scene-split env pools); the
-        # sharded accum step stitches the ranks' batches globally
-        import jax as _jax
+        # multi-process: each rank re-renders its strided, wrap-padded
+        # episode shard (equal per-rank counts — unequal shards would give
+        # ranks different batch counts and deadlock the sharded accum step's
+        # collectives); the device analog of per-process scene-split pools
+        from vlnce_tpu.parallel.distributed import rank_slice
 
-        if _jax.process_count() > 1:
-            self._device_episodes = self._device_episodes[
-                _jax.process_index() :: _jax.process_count()
-            ]
+        self._device_episodes = rank_slice(self._device_episodes)
         self.length = len(self._device_episodes)
         mc = self.config.MODEL.INSTRUCTION_ENCODER
         self._instr_uuid = str(getattr(mc, "sensor_uuid", "instruction"))
@@ -282,30 +280,19 @@ class TeacherRecollectionDataset:
         dataset order, wrapping)."""
         if self.resident:
             from vlnce_tpu.ops.obs_transforms import get_active_obs_transforms
-            from vlnce_tpu.parallel.mesh import DATA_AXIS, resolve_training_mesh
+            from vlnce_tpu.parallel.mesh import (
+                resident_mesh_for_batch, resolve_training_mesh,
+            )
             from vlnce_tpu.trainers.device_recollect import render_gt_batch_resident
-            from vlnce_tpu.utils.logging import logger
 
             transforms = get_active_obs_transforms(self.config)
-            # render, batch, and accum step must share ONE device set, so the
-            # mesh is all-or-nothing: the batch either divides the training
-            # mesh (render shards its env axis; emitted leaves arrive already
-            # env-sharded) or the render stays single-device and the sharded
-            # step reshards per batch. Under multi-process JAX each rank
-            # renders its own episode shard locally (host arrays cannot feed
-            # a global-mesh jit); prepare_global_batch stitches the ranks
-            import jax as _jax
-
-            mesh = resolve_training_mesh(self.config)
-            if mesh is not None and _jax.process_count() > 1:
-                mesh = None
-            elif mesh is not None and self.batch_size % mesh.shape[DATA_AXIS] != 0:
-                logger.warning(
-                    f"TPU.RECOLLECT_RESIDENT: IL.batch_size={self.batch_size} "
-                    f"doesn't divide the {mesh.shape[DATA_AXIS]}-way data "
-                    f"mesh; rendering single-device (training stays sharded)"
-                )
-                mesh = None
+            # shared all-or-nothing gate (render, batch, and accum step must
+            # share ONE device set; multi-process ranks render their episode
+            # shards locally and prepare_global_batch stitches the batches)
+            mesh = resident_mesh_for_batch(
+                resolve_training_mesh(self.config), self.batch_size,
+                tag="TPU.RECOLLECT_RESIDENT",
+            )
 
             def ep_cycle():
                 while True:

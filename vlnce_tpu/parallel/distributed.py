@@ -66,3 +66,23 @@ def world_size() -> int:
     import jax
 
     return jax.process_count()
+
+
+def rank_slice(items, rank=None, nproc=None) -> list:
+    """Per-rank strided data shard with wrap-padding so EVERY rank gets the
+    same count (torch DistributedSampler semantics, reference
+    ddppo_waypoint_trainer.py rank topology): unequal shards would give
+    ranks different batch counts and deadlock the first collective the
+    shorter rank never joins. Single-process: identity. Wrapped duplicates
+    appear only when len(items) % nproc != 0."""
+    import jax
+
+    items = list(items)
+    if nproc is None:
+        nproc = jax.process_count()
+    if nproc <= 1 or not items:
+        return items
+    if rank is None:
+        rank = jax.process_index()
+    per = -(-len(items) // nproc)
+    return [items[(rank + i * nproc) % len(items)] for i in range(per)]

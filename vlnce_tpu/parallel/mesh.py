@@ -75,8 +75,16 @@ def shrink_mesh_for_batch(mesh: Optional[Mesh], batch_size: int,
     DAgger) need the env axis to split evenly over the data axis; a mesh
     the batch doesn't divide is shrunk to the gcd (with a warning) rather
     than silently running replicated or erroring — matching scan-eval's
-    round-2 behavior, now shared by every env-sharded path."""
+    round-2 behavior, now shared by every env-sharded path.
+
+    Multi-process JAX always returns None: a collection scan feeds
+    process-local host arrays, which cannot enter a jit whose in_shardings
+    span non-addressable devices — each rank scans its own shard locally
+    and the cross-process assembly happens at the train step
+    (prepare_global_batch)."""
     if mesh is None or batch_size <= 0:
+        return None
+    if jax.process_count() > 1:
         return None
     n_data = mesh.shape[DATA_AXIS]
     if n_data <= 1:
@@ -93,6 +101,41 @@ def shrink_mesh_for_batch(mesh: Optional[Mesh], batch_size: int,
         f"mesh; using a {g}-way mesh"
     )
     return make_mesh(num_devices=g)
+
+
+def resident_mesh_for_batch(mesh: Optional[Mesh], batch_size: int,
+                            tag: str = "resident pipeline") -> Optional[Mesh]:
+    """All-or-nothing mesh gate for the RESIDENT pipelines (collection ->
+    HBM bank/batch -> train step): every stage must share ONE device set
+    (mixing placements is an error in JAX, not a reshard), so a shrunk
+    sub-mesh is never acceptable — the env batch either divides the full
+    training mesh or the scan falls back to single-device (the emitted
+    arrays stay uncommitted and the sharded step reshards per batch).
+    Multi-process JAX always falls back: each rank collects/renders its own
+    shard locally (see shrink_mesh_for_batch)."""
+    if mesh is None or batch_size <= 0:
+        return None
+    if jax.process_count() > 1:
+        from vlnce_tpu.utils.logging import logger
+
+        logger.info(
+            f"{tag}: multi-process run — collecting per-process rank slices "
+            f"locally; the sharded train step stitches global batches"
+        )
+        return None
+    n_data = mesh.shape[DATA_AXIS]
+    if n_data <= 1:
+        return None
+    if batch_size % n_data == 0:
+        return mesh
+    from vlnce_tpu.utils.logging import logger
+
+    logger.warning(
+        f"{tag}: batch {batch_size} doesn't divide the {n_data}-way data "
+        f"mesh; running the scan single-device (training stays sharded). "
+        f"Make the batch a multiple of the data width to shard it."
+    )
+    return None
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -138,13 +138,13 @@ class DaggerTrainer(BaseVLNCETrainer):
         first update_size in dataset order. One definition, so the resident
         and store paths can never silently diverge on selection or mixing.
 
-        Under multi-process JAX each rank takes its STRIDED slice of the
-        plan (rank::nproc — keeps per-rank scene diversity), so processes
-        collect disjoint shards instead of duplicating work — the device
-        analog of the host env pool's per-process scene-split iterators and
-        the reference's DistributedSampler."""
-        import jax as _jax
-
+        Under multi-process JAX each rank takes its STRIDED, wrap-padded
+        slice of the plan (parallel/distributed.py:rank_slice — equal
+        per-rank counts so every rank runs the same number of collective
+        train batches), the device analog of the host env pool's
+        per-process scene-split iterators / the reference's
+        DistributedSampler."""
+        from vlnce_tpu.parallel.distributed import rank_slice
         from vlnce_tpu.tasks.datasets import make_dataset
 
         config = self.config
@@ -154,48 +154,21 @@ class DaggerTrainer(BaseVLNCETrainer):
             config.TASK_CONFIG.DATASET.TYPE, config.TASK_CONFIG.DATASET
         )
         episodes = list(dataset.episodes)[: int(config.IL.DAGGER.update_size)]
-        if _jax.process_count() > 1:
-            episodes = episodes[_jax.process_index() :: _jax.process_count()]
-        return episodes, beta
+        return rank_slice(episodes), beta
 
     def _resident_mesh(self):
-        """Mesh for the resident collect->train pipeline. Collection, bank,
-        and train step must share ONE device set (mixing placements is an
-        error in JAX, not a reshard) — so the env axis either divides the
-        training mesh or collection falls back to single-device (the bank
-        arrays stay uncommitted and the train step reshards per batch, the
-        pre-sharding behavior).
+        """Mesh for the resident collect->train pipeline: the shared
+        all-or-nothing gate (parallel/mesh.py:resident_mesh_for_batch) —
+        collection, bank, and train step must share ONE device set, and
+        under multi-process JAX each rank collects its episode slice
+        (_collection_plan) locally while prepare_global_batch stitches the
+        per-rank batches in the sharded step."""
+        from vlnce_tpu.parallel.mesh import resident_mesh_for_batch
 
-        Under multi-process JAX the collection scan cannot feed host arrays
-        into a global-mesh jit at all: each process collects its RANK SLICE
-        of the episode plan (see _collection_plan) on its local devices and
-        the sharded train step assembles global batches from the per-process
-        banks through prepare_global_batch — the same per-rank-shard
-        topology as the reference's DistributedSampler feeding DDP."""
-        if self.mesh is None:
-            return None
-        import jax as _jax
-
-        if _jax.process_count() > 1:
-            logger.info(
-                "TPU.DAGGER_RESIDENT under multi-process JAX: collecting "
-                "per-process rank slices locally; the sharded train step "
-                "stitches global batches"
-            )
-            return None
-        from vlnce_tpu.parallel.mesh import DATA_AXIS
-
-        n_data = self.mesh.shape[DATA_AXIS]
-        B = max(1, int(self.config.NUM_ENVIRONMENTS))
-        if B % n_data == 0:
-            return self.mesh
-        logger.warning(
-            f"TPU.DAGGER_RESIDENT: NUM_ENVIRONMENTS={B} doesn't divide the "
-            f"{n_data}-way data mesh; collecting single-device (training "
-            f"stays sharded). Make NUM_ENVIRONMENTS a multiple of the data "
-            f"width to shard collection."
+        return resident_mesh_for_batch(
+            self.mesh, max(1, int(self.config.NUM_ENVIRONMENTS)),
+            tag="TPU.DAGGER_RESIDENT",
         )
-        return None
 
     # ----------------------------------------------------- resident pipeline
     def _resident_iterator(self, data_it: int, seed: int):
@@ -213,6 +186,10 @@ class DaggerTrainer(BaseVLNCETrainer):
         config = self.config
         if config.IL.DAGGER.preload_lmdb_features:
             if self._bank is None:
+                import jax as _jax
+
+                from vlnce_tpu.parallel.distributed import rank_slice
+
                 reader = TrajectoryStoreReader(self.features_dir)
                 self._bank = DeviceTrajectoryBank.from_store(
                     reader,
@@ -221,8 +198,11 @@ class DaggerTrainer(BaseVLNCETrainer):
                     # misfile the instruction as a per-step feature row
                     instr_uuid=str(config.MODEL.INSTRUCTION_ENCODER.sensor_uuid),
                     # mesh-replicated so every chip's train-step batch slice
-                    # is a local read (no reshard per batch)
-                    mesh=self.mesh,
+                    # is a local read (no reshard per batch); multi-process
+                    # ranks bank only their shard on LOCAL devices and the
+                    # sharded step stitches batches (prepare_global_batch)
+                    mesh=None if _jax.process_count() > 1 else self.mesh,
+                    indices=rank_slice(range(len(reader))),
                 )
                 reader.close()
                 logger.info(

@@ -57,7 +57,11 @@ def _host_snapshot(tree):
 
 def _write_atomic(path: str, payload: Dict[str, Any]) -> None:
     blob = serialization.msgpack_serialize(payload)
-    tmp = path + ".tmp"
+    # unique temp name: concurrent writers of the same path (e.g. several
+    # pod ranks sharing CHECKPOINT_FOLDER) must not race on one temp file —
+    # with a fixed name, one rank's os.replace would rename the other's
+    # in-progress temp away and its own replace would then FileNotFoundError
+    tmp = f"{path}.tmp.{os.getpid()}-{threading.get_ident()}"
     with open(tmp, "wb") as f:
         f.write(blob)
         f.flush()
