@@ -109,27 +109,41 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
         # unavailable); minibatches whose env axis doesn't divide the data
         # axis are PADDED in WDDPPO._pad_sample, never silently single-device
         mesh = resolve_training_mesh(config)
+        self._collector_mesh = None
         if mesh is not None and bool(config.TPU.ON_DEVICE_ROLLOUT):
-            # with device-resident rollouts the env axis IS the data axis for
-            # both collection and the PPO update (they share the [T, N, ...]
-            # batch on the same devices), so N must divide the mesh. Auto
-            # meshes (DATA=-1) shrink to the largest divisor with a warning;
-            # an explicitly requested width fails loudly.
-            N = int(config.NUM_ENVIRONMENTS)
-            n_data = mesh.shape[DATA_AXIS]
-            if N % n_data != 0:
-                if int(config.TPU.MESH.DATA) == -1:
-                    g = math.gcd(N, n_data)
-                    logger.warning(
-                        f"ON_DEVICE_ROLLOUT: {N} envs don't divide the auto "
-                        f"{n_data}-way data mesh; using a {g}-way mesh"
-                    )
-                    mesh = make_mesh(num_devices=g) if g > 1 else None
-                else:
-                    raise ValueError(
-                        f"TPU.ON_DEVICE_ROLLOUT with TPU.MESH.DATA={n_data} "
-                        f"needs NUM_ENVIRONMENTS divisible by it (got {N})"
-                    )
+            import jax as _jax
+
+            if _jax.process_count() > 1:
+                # the collection scan feeds rank-local host scene arrays,
+                # which cannot enter a jit sharded over non-addressable
+                # devices: each rank collects its env pool locally and
+                # WDDPPO._globalize_sample stitches the per-rank batches
+                # into the global sharded update
+                logger.info(
+                    "ON_DEVICE_ROLLOUT multi-process: per-rank local "
+                    "collection; the sharded PPO update stitches ranks"
+                )
+            else:
+                # single-process: collection and the PPO update share the
+                # [T, N, ...] batch on the same devices, so N must divide
+                # the mesh. Auto meshes (DATA=-1) shrink to the largest
+                # divisor with a warning; an explicit width fails loudly.
+                N = int(config.NUM_ENVIRONMENTS)
+                n_data = mesh.shape[DATA_AXIS]
+                if N % n_data != 0:
+                    if int(config.TPU.MESH.DATA) == -1:
+                        g = math.gcd(N, n_data)
+                        logger.warning(
+                            f"ON_DEVICE_ROLLOUT: {N} envs don't divide the auto "
+                            f"{n_data}-way data mesh; using a {g}-way mesh"
+                        )
+                        mesh = make_mesh(num_devices=g) if g > 1 else None
+                    else:
+                        raise ValueError(
+                            f"TPU.ON_DEVICE_ROLLOUT with TPU.MESH.DATA={n_data} "
+                            f"needs NUM_ENVIRONMENTS divisible by it (got {N})"
+                        )
+                self._collector_mesh = mesh
         self._mesh = mesh
         self.agent = WDDPPO(
             self.policy,
@@ -202,7 +216,8 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
 
             collector = DeviceRolloutCollector(
                 self.policy, self.obs_transforms, config, N,
-                mesh=getattr(self, "_mesh", None),
+                # under multi-process this is None: collection is rank-local
+                mesh=getattr(self, "_collector_mesh", None),
             )
             collector.initial_carry_and_obs()
         else:
