@@ -37,7 +37,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from vlnce_tpu.data.collate import LENGTH_QUANTUM, iterate_episode_keys
-from vlnce_tpu.utils.logging import logger
 
 
 # banks round their row/episode counts up to these quanta so the gather jit

@@ -11,7 +11,7 @@ groups, no NCCL.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

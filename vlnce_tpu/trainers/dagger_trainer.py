@@ -47,6 +47,17 @@ class DaggerTrainer(BaseVLNCETrainer):
         self.features_dir = config.IL.DAGGER.lmdb_features_dir.format(
             split=config.TASK_CONFIG.DATASET.SPLIT
         )
+        import jax as _jax
+
+        if _jax.process_count() > 1 and not config.IL.DAGGER.preload_lmdb_features:
+            # pod collection: each rank collects its episode slice
+            # (_collection_plan rank_slice) into a RANK-LOCAL store shard —
+            # the store is single-writer, and a shared dir would have every
+            # rank racing the same files. Training already consumes
+            # per-process shards (prepare_global_batch). Preloaded stores
+            # stay shared read-only (from_store takes the rank slice).
+            self.features_dir = f"{self.features_dir}.rank{_jax.process_index()}"
+            logger.info(f"multi-process DAgger: rank-local store {self.features_dir}")
         super().__init__(config)
         self._train_step = None  # built lazily once the policy exists
         self._bank = None  # DeviceTrajectoryBank (TPU.DAGGER_RESIDENT)
