@@ -132,6 +132,19 @@ def _round_up(n: int, quantum: int) -> int:
     return -(-n // quantum) * quantum
 
 
+def _put(tree, mesh):
+    """device_put a host pytree: plain (uncommitted) without a mesh, else
+    mesh-REPLICATED — bank arrays must share one device set with the sharded
+    collection/pack outputs they join in the gather jit (mixing placements
+    is an error in JAX, not a reshard)."""
+    if mesh is None:
+        return jax.device_put(tree)
+    from vlnce_tpu.parallel.mesh import replicated
+
+    repl = replicated(mesh)
+    return jax.device_put(tree, jax.tree_util.tree_map(lambda _: repl, tree))
+
+
 def _pad_host(arr: np.ndarray, target: int, fill) -> np.ndarray:
     pad = [(0, target - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
     return np.pad(arr, pad, constant_values=fill)
@@ -169,23 +182,11 @@ class DeviceTrajectoryBank:
         self.trash_index = int(trash_index)
         self.instr_uuid = instr_uuid
         E_pad = _round_up(max(len(self.offsets), 1), EPISODE_QUANTUM)
-        aux = (
+        self.instruction, self._offsets_d, self._lengths_d = _put((
             _pad_host(self._instr_host, E_pad, 0),
             _pad_host(self.offsets.astype(np.int32), E_pad, 0),
             _pad_host(self.lengths.astype(np.int32), E_pad, 0),
-        )
-        if mesh is None:
-            self.instruction, self._offsets_d, self._lengths_d = jax.device_put(aux)
-        else:
-            # row arrays live mesh-replicated (sharded collection); the aux
-            # arrays must join them on the SAME device set or the gather jit
-            # would mix device placements (an error in JAX, not a reshard)
-            from vlnce_tpu.parallel.mesh import replicated
-
-            repl = replicated(mesh)
-            self.instruction, self._offsets_d, self._lengths_d = jax.device_put(
-                aux, (repl, repl, repl)
-            )
+        ), mesh)
 
     # ------------------------------------------------------------- properties
     def __len__(self) -> int:
@@ -286,16 +287,7 @@ class DeviceTrajectoryBank:
         oracle_h = np.concatenate(oracle_rows + [np.zeros((pad_n,), np.int32)])
         instr_h = np.stack(instrs)
         offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
-        if mesh is None:
-            data, prev, oracle = jax.device_put((data_h, prev_h, oracle_h))
-        else:
-            from vlnce_tpu.parallel.mesh import replicated
-
-            repl = replicated(mesh)
-            data, prev, oracle = jax.device_put(
-                (data_h, prev_h, oracle_h),
-                ({k: repl for k in data_h}, repl, repl),
-            )
+        data, prev, oracle = _put((data_h, prev_h, oracle_h), mesh)
         return cls(
             data, prev, oracle, instr_h, offsets,
             np.asarray(lengths), feat_shapes,

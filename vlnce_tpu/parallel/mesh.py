@@ -17,6 +17,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from vlnce_tpu.utils.logging import logger
+
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
@@ -94,8 +96,6 @@ def shrink_mesh_for_batch(mesh: Optional[Mesh], batch_size: int,
     g = math.gcd(batch_size, n_data)
     if g <= 1:
         return None
-    from vlnce_tpu.utils.logging import logger
-
     logger.warning(
         f"{tag}: batch {batch_size} doesn't divide the {n_data}-way data "
         f"mesh; using a {g}-way mesh"
@@ -116,8 +116,6 @@ def resident_mesh_for_batch(mesh: Optional[Mesh], batch_size: int,
     if mesh is None or batch_size <= 0:
         return None
     if jax.process_count() > 1:
-        from vlnce_tpu.utils.logging import logger
-
         logger.info(
             f"{tag}: multi-process run — collecting per-process rank slices "
             f"locally; the sharded train step stitches global batches"
@@ -128,8 +126,6 @@ def resident_mesh_for_batch(mesh: Optional[Mesh], batch_size: int,
         return None
     if batch_size % n_data == 0:
         return mesh
-    from vlnce_tpu.utils.logging import logger
-
     logger.warning(
         f"{tag}: batch {batch_size} doesn't divide the {n_data}-way data "
         f"mesh; running the scan single-device (training stays sharded). "

@@ -128,6 +128,46 @@ def worker_main() -> None:
     print(f"MP_LOSS {pid} {loss!r} {action_loss!r} {aux_loss!r}", flush=True)
 
 
+def tiny_resident_dagger_config(tmp: str, n_envs: int, n_episodes: int):
+    """Minimal TPU.DAGGER_RESIDENT config on the synthetic dataset (tiny
+    shapes keep CPU compiles bounded). Shared by the pod smoke below and by
+    __graft_entry__.dryrun_multichip's resident-DAgger segment."""
+    import vlnce_tpu.tasks  # noqa: F401
+    import vlnce_tpu.models  # noqa: F401
+    import vlnce_tpu.trainers  # noqa: F401
+    from vlnce_tpu.config import get_config
+    from vlnce_tpu.envs import ensure_registered
+    from vlnce_tpu.envs import rl_envs  # noqa: F401  (registers VLNCEDaggerEnv)
+
+    ensure_registered()
+    img = 16
+    return get_config(opts=[
+        "BASE_TASK_CONFIG_PATH", "vlnce_tpu/tasks/config/vlnce_task.yaml",
+        "TASK_CONFIG.DATASET.TYPE", "Synthetic-VLN-v0",
+        "TASK_CONFIG.DATASET.NUM_EPISODES", n_episodes,
+        "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", 6,
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT", img,
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH", img,
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT", img,
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH", img,
+        "NUM_ENVIRONMENTS", n_envs,
+        "TENSORBOARD_DIR", "",
+        "CHECKPOINT_FOLDER", f"{tmp}/ckpts",
+        "MODEL.DEPTH_ENCODER.backbone", "resnet18",
+        "MODEL.RGB_ENCODER.cnn_type", "TorchVisionResNet18",
+        "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", False,
+        "MODEL.INSTRUCTION_ENCODER.vocab_size", 64,
+        "IL.epochs", 1,
+        "IL.batch_size", 2,
+        "IL.DAGGER.iterations", 1,
+        "IL.DAGGER.update_size", n_episodes,
+        "IL.DAGGER.p", 1.0,
+        "IL.DAGGER.lmdb_features_dir", f"{tmp}/traj",
+        "TPU.ON_DEVICE_DAGGER", True,
+        "TPU.DAGGER_RESIDENT", True,
+    ])
+
+
 def _worker_resident_dagger() -> None:
     """Pod smoke for the fused resident DAgger pipeline: each rank collects
     its strided episode shard locally (DaggerTrainer._collection_plan rank
@@ -138,43 +178,11 @@ def _worker_resident_dagger() -> None:
 
     import jax
 
-    import vlnce_tpu.tasks  # noqa: F401
-    import vlnce_tpu.models  # noqa: F401
-    import vlnce_tpu.trainers  # noqa: F401
-    from vlnce_tpu.config import get_config
-    from vlnce_tpu.envs import ensure_registered
-    from vlnce_tpu.envs import rl_envs  # noqa: F401  (registers VLNCEDaggerEnv)
     from vlnce_tpu.registry import registry
 
-    ensure_registered()
     pid = jax.process_index()
-    img = 16
     with tempfile.TemporaryDirectory() as tmp:
-        cfg = get_config(opts=[
-            "BASE_TASK_CONFIG_PATH", "vlnce_tpu/tasks/config/vlnce_task.yaml",
-            "TASK_CONFIG.DATASET.TYPE", "Synthetic-VLN-v0",
-            "TASK_CONFIG.DATASET.NUM_EPISODES", 4,
-            "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", 6,
-            "TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT", img,
-            "TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH", img,
-            "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT", img,
-            "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH", img,
-            "NUM_ENVIRONMENTS", 2,
-            "TENSORBOARD_DIR", "",
-            "CHECKPOINT_FOLDER", f"{tmp}/ckpts",
-            "MODEL.DEPTH_ENCODER.backbone", "resnet18",
-            "MODEL.RGB_ENCODER.cnn_type", "TorchVisionResNet18",
-            "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", False,
-            "MODEL.INSTRUCTION_ENCODER.vocab_size", 64,
-            "IL.epochs", 1,
-            "IL.batch_size", 2,
-            "IL.DAGGER.iterations", 1,
-            "IL.DAGGER.update_size", 4,
-            "IL.DAGGER.p", 1.0,
-            "IL.DAGGER.lmdb_features_dir", f"{tmp}/traj",
-            "TPU.ON_DEVICE_DAGGER", True,
-            "TPU.DAGGER_RESIDENT", True,
-        ])
+        cfg = tiny_resident_dagger_config(tmp, n_envs=2, n_episodes=4)
         trainer = registry.get_trainer("dagger")(cfg)
         rec = []
         orig = trainer._update_agent

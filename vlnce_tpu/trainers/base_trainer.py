@@ -152,10 +152,7 @@ class BaseVLNCETrainer:
         logger.info(f"Initialized policy {config.MODEL.policy_name}: {self.policy.num_params()} params")
 
     def save_checkpoint(self, file_name: str, extra_state: Optional[Dict] = None) -> None:
-        import jax as _jax
-
-        if _jax.process_count() > 1 and _jax.process_index() != 0:
-            return  # params are replicated: rank 0 writes for the pod
+        # rank-0 gating for pods lives in utils/checkpoints.save_checkpoint
         path = os.path.join(self.config.CHECKPOINT_FOLDER, file_name)
         save_checkpoint(
             path, self.policy.params, config=self.config,

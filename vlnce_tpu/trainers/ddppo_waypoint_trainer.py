@@ -345,10 +345,7 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
         wait_for_pending()
 
     def save_rl_checkpoint(self, name: str, update: int, count_steps: int) -> None:
-        import jax as _jax
-
-        if _jax.process_count() > 1 and _jax.process_index() != 0:
-            return  # params are replicated: rank 0 writes for the pod
+        # rank-0 gating for pods lives in utils/checkpoints.save_checkpoint
         save_checkpoint(
             os.path.join(self.config.CHECKPOINT_FOLDER, name),
             self.policy.params, config=self.config,

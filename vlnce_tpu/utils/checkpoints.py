@@ -40,10 +40,6 @@ from flax import serialization
 from vlnce_tpu.config.node import Config
 
 
-def _to_numpy_tree(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
-
-
 def _host_snapshot(tree):
     """One batched device->host transfer of a whole pytree. Device leaves
     come back as fresh host arrays; numpy leaves (already host) are COPIED —
@@ -120,6 +116,11 @@ def save_checkpoint(
     extra_state: Optional[Dict[str, Any]] = None,
     async_write: bool = False,
 ) -> None:
+    # one writer per pod: params are replicated, so non-zero ranks writing
+    # the same shared path would only duplicate IO (every trainer save —
+    # periodic checkpoints AND the requeue interrupted state — inherits this)
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # ONE batched device->host transfer for the whole checkpoint tree
     params_sd = serialization.to_state_dict(params)
