@@ -170,6 +170,28 @@ def test_generate_and_scan_eval_with_bank(tmp_path, monkeypatch):
     with open(fname) as f:
         json.load(f)
 
+    # sharded bank eval: the bank arrays shard over the data mesh with the
+    # rest of the segment inputs (scan_eval in_shardings) and the metrics
+    # must match the single-device run exactly (deterministic eval)
+    cfg_sharded = get_config(
+        "vlnce_tpu/config/experiments/synthetic/smoke_seq2seq.yaml",
+        opts=common_opts + [
+            "RESULTS_DIR", f"{tmp}/evals_sharded",  # a pre-existing stats
+            # JSON makes eval skip the checkpoint and return None
+            "EVAL.ON_DEVICE_SCAN", True,
+            "EVAL.SCAN_BATCH", 4,
+            "EVAL.SCAN_SEGMENT", 4,
+            "EVAL.EPISODE_COUNT", 4,
+            "EVAL.USE_CKPT_CONFIG", False,
+            "TPU.FEATURE_BANK_DIR", bank_dir,
+            "TPU.MESH.DATA", 4,
+        ],
+    )
+    trainer_s = registry.get_trainer("dagger")(cfg_sharded)
+    stats_s = trainer_s._eval_checkpoint(f"{tmp}/nonexistent.ckpt", _NullWriter(), 0)
+    for key in ("success", "spl", "ndtw"):
+        np.testing.assert_allclose(stats_s[key], stats[key], atol=1e-5, err_msg=key)
+
 
 @pytest.mark.slow
 def test_resident_dagger_with_bank_matches_expert_trajectories(tmp_path, monkeypatch):
