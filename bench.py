@@ -788,7 +788,39 @@ def bench_torch_cpu_baseline() -> float:
     return B * BASELINE_ITERS / dt
 
 
+def _require_devices(timeout_s: float = 240.0) -> None:
+    """Fail fast (clear message, nonzero exit) when the device backend is
+    unreachable: jax backend init on a broken relay HANGS indefinitely,
+    which would stall the whole bench harness rather than report an error."""
+    import threading
+
+    devices, err = [], []
+
+    def probe():
+        try:
+            import jax
+
+            devices.extend(jax.devices())
+        except Exception as e:  # init error: report, don't hang
+            err.append(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(
+            f"bench: device backend init did not complete within "
+            f"{timeout_s:.0f}s (TPU relay down?); aborting",
+            file=sys.stderr,
+        )
+        os._exit(2)  # the init thread is unkillable; exit hard
+    if err:
+        print(f"bench: device backend init failed: {err[0]}", file=sys.stderr)
+        raise SystemExit(2)
+
+
 def main() -> None:
+    _require_devices()
     if "--closed-loop" in sys.argv:
         bench_closed_loop()
         return
