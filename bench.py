@@ -495,6 +495,66 @@ def bench_dagger_collect() -> None:
         file=sys.stderr,
     )
 
+    # -- epoch as ONE scan program per length-bucket run ----------------------
+    # (TPU.RESIDENT_EPOCH_SCAN) gather + update fuse per scan step: zero host
+    # dispatches between batches, one loss readback per run
+    from vlnce_tpu.data.device_bank import build_epoch_scan
+
+    scan_cache = {}
+    state2 = [jax.tree_util.tree_map(lambda x: x + 0, policy.params), None]
+    state2[1] = optimizer.init(state2[0])
+
+    def run_epoch_scan(n_eps: int):
+        t0 = time.perf_counter()
+        bank = collect_episodes_resident(
+            policy, transforms, cfg, episodes[:n_eps], 1.0, jax.random.PRNGKey(3)
+        )
+        riter = ResidentBatchIterator(bank, batch_size=8, seed=1, time_major=True)
+        params, opt = state2
+        losses = None
+        for T_b, idxs in riter.epoch_runs():
+            K, N = idxs.shape
+            key = (T_b, N, K)
+            fn = scan_cache.get(key)
+            if fn is None:
+                fn = build_epoch_scan(
+                    policy.module, optimizer,
+                    policy.num_recurrent_layers, policy.hidden_size,
+                    None, T_b, N,
+                    feat_shapes=tuple(sorted(
+                        (k, tuple(v)) for k, v in bank.feat_shapes.items()
+                    )),
+                    instr_uuid=bank.instr_uuid,
+                )
+                scan_cache[key] = fn
+            params, opt, losses = fn(
+                params, opt, *bank.epoch_scan_args(idxs, riter.coef)
+            )
+        state2[0], state2[1] = params, opt
+        float(np.asarray(losses[0]).sum())  # readback barrier
+        return time.perf_counter() - t0, bank.num_steps
+
+    run_epoch_scan(B)  # compile (B shapes)
+    run_epoch_scan(2 * B)  # compile (2B-only variants)
+    t_s, _ = run_epoch_scan(B)
+    t_l, steps_l = run_epoch_scan(2 * B)
+    _, steps_s = run_epoch_scan(B)
+    steps, dt = steps_l - steps_s, t_l - t_s
+    if dt < 0.2 * t_l:  # marginal swallowed by relay noise: absolute fallback
+        steps, dt = steps_l, t_l
+    scan_sps = steps / max(dt, 1e-9)
+    print(
+        json.dumps(
+            {
+                "metric": "resident_dagger_epoch_scan_env_steps_per_sec_per_chip",
+                "value": round(scan_sps, 2),
+                "unit": "env-steps/s",
+                "note": "collect + one IL epoch with the epoch fused into lax.scan programs (TPU.RESIDENT_EPOCH_SCAN), per collected env step",
+            }
+        ),
+        file=sys.stderr,
+    )
+
 
 def bench_recollect() -> None:
     """Device-rendered recollection throughput: GT re-simulation as render

@@ -508,6 +508,60 @@ def test_dagger_resident_training_matches_store_losses(tmp_path):
     )
 
 
+def test_dagger_fused_epoch_scan_matches_per_batch(tmp_path):
+    """TPU.RESIDENT_EPOCH_SCAN (whole epoch as lax.scan programs, gather +
+    update fused per step) trains with the same per-batch losses as the
+    per-batch resident path: same batch composition/order (shared
+    _epoch_batches stream), same update math (production loss_and_grads)."""
+    losses = {}
+    for tag, extra in (
+        ("per_batch", []),
+        ("fused", ["TPU.RESIDENT_EPOCH_SCAN", True]),
+        # sharded fused: the scan body's shard_map psums over a 4-way mesh
+        ("fused_sharded", ["TPU.RESIDENT_EPOCH_SCAN", True,
+                           "TPU.MESH.DATA", 4, "IL.batch_size", 4,
+                           "NUM_ENVIRONMENTS", 4]),
+    ):
+        tmp = str(tmp_path / tag)
+        cfg = get_config(opts=base_opts(tmp, [
+            "TASK_CONFIG.DATASET.NUM_EPISODES", 4,
+            "IL.DAGGER.update_size", 4,
+            "IL.epochs", 2,
+            "IL.DAGGER.lmdb_features_dir", f"{tmp}/traj",
+            "TPU.ON_DEVICE_DAGGER", True,
+            "TPU.DAGGER_RESIDENT", True,
+        ] + extra))
+        trainer = registry.get_trainer("dagger")(cfg)
+        rec = []
+        orig_update = trainer._update_agent
+        orig_fused = trainer._run_fused_epoch
+
+        def wrapped_update(*a, _orig=orig_update, _rec=rec, **kw):
+            out = _orig(*a, **kw)
+            _rec.append(out[0])
+            return out
+
+        def wrapped_fused(riter, _orig=orig_fused, _rec=rec):
+            triples = _orig(riter)
+            _rec.extend(t[0] for t in triples)
+            return triples
+
+        trainer._update_agent = wrapped_update
+        trainer._run_fused_epoch = wrapped_fused
+        trainer.train()
+        losses[tag] = np.asarray(rec)
+
+    assert len(losses["per_batch"]) == 4  # 2 epochs x 2 batches
+    np.testing.assert_allclose(
+        losses["fused"], losses["per_batch"], rtol=2e-6, atol=1e-7
+    )
+    # sharded fused uses batch_size 4 -> 1 batch/epoch; its first-epoch
+    # first-batch loss (fresh params, full dataset batch) must be finite
+    # and its training must have run fused (2 batches over 2 epochs)
+    assert len(losses["fused_sharded"]) == 2
+    assert np.isfinite(losses["fused_sharded"]).all()
+
+
 def test_dagger_resident_sharded_collection_matches_single_device(tmp_path):
     """Resident collect->train with the env axis sharded over the data mesh
     (TPU.MESH.DATA=4): the collection scan runs pjit over 4 virtual devices,

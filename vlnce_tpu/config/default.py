@@ -125,6 +125,13 @@ _C.TPU.PAD_ENV_BATCH = True
 # upload) when it has at most this many episodes; larger splits fall back to
 # re-uploading the per-rollout episode queue (~65KB/episode of HBM when on)
 _C.TPU.EPISODE_BANK_MAX = 8192
+# fused epoch scan for the resident DAgger pipeline: each epoch runs as a
+# handful of lax.scan programs (one per consecutive length-bucket run of
+# batches, power-of-2 chunked) with the gather + IL update fused per step —
+# zero host dispatches between batches. Requires TPU.DAGGER_RESIDENT,
+# single-process, and IL.batch_size divisible by the data-mesh width;
+# otherwise falls back to the per-batch resident path.
+_C.TPU.RESIDENT_EPOCH_SCAN = False
 # checkpoint writes: device snapshot is one batched transfer; with this on,
 # msgpack serialization + file IO run in a background thread (atomic tmp+
 # rename either way, so eval-many pollers never see a torn file). Trainers

@@ -47,8 +47,7 @@ ROW_QUANTUM = 2048
 EPISODE_QUANTUM = 64
 
 
-@partial(jax.jit, static_argnames=("T_b", "N", "feat_shapes", "instr_uuid", "time_major"))
-def _gather_impl(
+def _gather_core(
     data, prev, oracle, instruction, offsets, lengths, trash, idx, coef,
     *, T_b: int, N: int, feat_shapes: tuple, instr_uuid: str,
     time_major: bool = False,
@@ -58,9 +57,9 @@ def _gather_impl(
     weights [T,N]) — or, with time_major, the train step's native layout
     (obs [T,N,...], prev/masks [T,N]; the reshape is free inside the jit,
     while the flat payload costs the consumer one eager reshape dispatch
-    per leaf on a remote-attached chip). A single module-level jit — its
-    cache keys on shapes, never on bank identity, so rebuilt banks reuse
-    compiled gathers."""
+    per leaf on a remote-attached chip). Plain traceable function: called
+    by the module-level _gather_impl jit AND inside the epoch-scan body
+    (build_epoch_scan), where one lax.scan fuses gather+update per batch."""
     shapes = dict(feat_shapes)
     off = jnp.take(offsets, idx)
     ln = jnp.take(lengths, idx)
@@ -98,6 +97,72 @@ def _gather_impl(
         corrected,
         weights,
     )
+
+
+# the per-batch dispatch path: a single module-level jit whose cache keys on
+# shapes, never on bank identity, so rebuilt banks reuse compiled gathers
+_gather_impl = partial(
+    jax.jit, static_argnames=("T_b", "N", "feat_shapes", "instr_uuid", "time_major")
+)(_gather_core)
+
+
+def build_epoch_scan(module, optimizer, num_layers: int, hidden: int, mesh,
+                     T_b: int, N: int, feat_shapes: tuple, instr_uuid: str):
+    """A whole RUN of training batches as ONE device program
+    (TPU.RESIDENT_EPOCH_SCAN): lax.scan over the [K, N] episode-index
+    matrix, each step gathering its batch from the resident bank and
+    applying the IL update in place — zero host dispatches between batches
+    (the per-batch path pays gather + train dispatch round trips each, the
+    dominant cost on a remote-attached chip once the data is resident).
+    Losses come back as [K] arrays, read once per run.
+
+    The update math is the production step's (_make_loss_and_grads — the
+    same shard_map/psum closure when a mesh is active), so per-batch and
+    fused-epoch training produce the same parameter trajectory; only
+    dispatch granularity changes. jit keys on (bank shapes, K), so runs
+    re-use compiles across DAgger iterations until the bank grows past a
+    ROW_QUANTUM boundary."""
+    import optax
+
+    from vlnce_tpu.parallel.il_step import _make_loss_and_grads
+
+    loss_and_grads = _make_loss_and_grads(module, num_layers, hidden, mesh)
+
+    def epoch(params, optim_state, data, prev, oracle, instruction,
+              offsets, lengths, trash, idxs, coef):
+        def body(carry, idx):
+            params, optim_state = carry
+            obs, prev_b, masks, corrected, weights = _gather_core(
+                data, prev, oracle, instruction, offsets, lengths, trash,
+                idx, coef, T_b=T_b, N=N, feat_shapes=feat_shapes,
+                instr_uuid=instr_uuid, time_major=True,
+            )
+            grads, loss, action_loss, aux_loss = loss_and_grads(
+                params, obs, prev_b, masks, corrected, weights
+            )
+            updates, optim_state = optimizer.update(grads, optim_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, optim_state), (loss, action_loss, aux_loss)
+
+        (params, optim_state), losses = jax.lax.scan(
+            body, (params, optim_state), idxs
+        )
+        return params, optim_state, losses
+
+    return jax.jit(epoch, donate_argnums=(0, 1))
+
+
+def _pow2_chunks(n: int):
+    """Split a run length into descending power-of-2 chunk sizes (13 ->
+    8, 4, 1): the epoch jit compiles once per (T_b, N, K), and power-of-2 Ks
+    bound the compile cache at log2(run) entries with zero wasted compute
+    (padding the scan would spend real FLOPs on dummy updates)."""
+    sizes = []
+    while n > 0:
+        k = 1 << (n.bit_length() - 1)
+        sizes.append(k)
+        n -= k
+    return sizes
 
 
 @partial(jax.jit, static_argnames=("pad_n",))
@@ -340,6 +405,16 @@ class DeviceTrajectoryBank:
             time_major=time_major,
         )
 
+    def epoch_scan_args(self, idxs: np.ndarray, coef: float) -> Tuple:
+        """Positional device/host args for a build_epoch_scan program (after
+        params/optim_state): bank arrays + the [K, N] index matrix + coef.
+        The host leaves ship with the dispatch (no standalone uploads)."""
+        return (
+            self.data, self.prev, self.oracle, self.instruction,
+            self._offsets_d, self._lengths_d, np.int32(self.trash_index),
+            np.asarray(idxs, np.int32), np.float32(coef),
+        )
+
     # --------------------------------------------------------------- archive
     def write_to_store(self, writer, fp16: bool = False,
                        commit_every: int = 500) -> int:
@@ -397,7 +472,12 @@ class ResidentBatchIterator:
     def __len__(self) -> int:
         return len(self.bank) // self.batch_size
 
-    def __iter__(self) -> Iterator[Tuple]:
+    def _epoch_batches(self) -> Iterator[List[int]]:
+        """One epoch of episode-id batches — the SINGLE source of batch
+        composition for both the per-batch path (__iter__) and the fused
+        epoch-scan plan (epoch_runs); both advance the same rng stream, so
+        they see identical compositions. drop_last semantics, matching the
+        store iterator."""
         batch: List[int] = []
         for k in iterate_episode_keys(
             len(self.bank), lambda i: int(self.bank.lengths[i]),
@@ -405,9 +485,37 @@ class ResidentBatchIterator:
         ):
             batch.append(k)
             if len(batch) == self.batch_size:
-                yield self.bank.gather_batch(
-                    batch, self.coef, self.length_quantum,
-                    time_major=self.time_major,
-                )
+                yield batch
                 batch = []
-        # drop_last semantics, matching the store iterator
+
+    def __iter__(self) -> Iterator[Tuple]:
+        for batch in self._epoch_batches():
+            yield self.bank.gather_batch(
+                batch, self.coef, self.length_quantum,
+                time_major=self.time_major,
+            )
+
+    def _batch_T(self, batch: List[int]) -> int:
+        T_b = int(self.bank.lengths[np.asarray(batch)].max())
+        if self.length_quantum > 1:
+            T_b = int(-(-T_b // self.length_quantum) * self.length_quantum)
+        return T_b
+
+    def epoch_runs(self) -> Iterator[Tuple[int, np.ndarray]]:
+        """The epoch's batch plan as (T_b, idx_matrix [K, N]) runs for the
+        fused epoch scan: consecutive batches sharing a padded length
+        bucket fuse into one scan (order preserved — no reordering vs the
+        per-batch path), run lengths split into power-of-2 chunks
+        (_pow2_chunks) to bound the compile cache."""
+        plan = [(self._batch_T(b), b) for b in self._epoch_batches()]
+        i = 0
+        while i < len(plan):
+            j = i
+            while j < len(plan) and plan[j][0] == plan[i][0]:
+                j += 1
+            run = [b for _, b in plan[i:j]]
+            lo = 0
+            for k in _pow2_chunks(len(run)):
+                yield plan[i][0], np.asarray(run[lo : lo + k], np.int32)
+                lo += k
+            i = j

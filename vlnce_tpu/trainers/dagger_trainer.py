@@ -61,6 +61,7 @@ class DaggerTrainer(BaseVLNCETrainer):
         super().__init__(config)
         self._train_step = None  # built lazily once the policy exists
         self._bank = None  # DeviceTrajectoryBank (TPU.DAGGER_RESIDENT)
+        self._epoch_scan_cache: Dict[tuple, object] = {}  # (T_b, N, K) -> jit
 
     # ------------------------------------------------------------------ train
     def train(self) -> None:
@@ -91,6 +92,7 @@ class DaggerTrainer(BaseVLNCETrainer):
         os.makedirs(config.CHECKPOINT_FOLDER, exist_ok=True)
 
         resident = bool(config.TPU.DAGGER_RESIDENT)
+        fused = resident and self._fused_epoch_ok()
         with TensorboardWriter(config.TENSORBOARD_DIR, purge_step=0) as writer:
             for dagger_it in range(config.IL.DAGGER.iterations):
                 step_id = 0
@@ -113,20 +115,32 @@ class DaggerTrainer(BaseVLNCETrainer):
                         inflection_weight_coef=config.IL.inflection_weight_coef,
                         seed=config.TASK_CONFIG.SEED + dagger_it,
                     )
-                # store read + msgpack decode + collate run in a background
-                # thread, overlapping the jitted update (IL.prefetch_batches)
-                diter = PrefetchIterator(diter, depth=config.IL.prefetch_batches)
+                if not fused:
+                    # store read + msgpack decode + collate run in a
+                    # background thread, overlapping the jitted update
+                    # (IL.prefetch_batches); the fused epoch scan has no
+                    # host work to hide — batches are gathered on device
+                    diter = PrefetchIterator(diter, depth=config.IL.prefetch_batches)
                 for epoch in tqdm.trange(config.IL.epochs, dynamic_ncols=True):
-                    for batch in tqdm.tqdm(diter, total=len(diter), leave=False, dynamic_ncols=True):
-                        observations, prev_actions, masks, corrected, weights = batch
-                        loss, action_loss, aux_loss = self._update_agent(
-                            observations, prev_actions, masks, corrected, weights,
-                            time_major=resident,
-                        )
-                        writer.add_scalar(f"train_loss_iter_{dagger_it}", loss, step_id)
-                        writer.add_scalar(f"train_action_loss_iter_{dagger_it}", action_loss, step_id)
-                        writer.add_scalar(f"train_aux_loss_iter_{dagger_it}", aux_loss, step_id)
-                        step_id += 1
+                    if fused:
+                        triples = self._run_fused_epoch(diter)
+                        for loss, action_loss, aux_loss in triples:
+                            writer.add_scalar(f"train_loss_iter_{dagger_it}", loss, step_id)
+                            writer.add_scalar(f"train_action_loss_iter_{dagger_it}", action_loss, step_id)
+                            writer.add_scalar(f"train_aux_loss_iter_{dagger_it}", aux_loss, step_id)
+                            step_id += 1
+                        loss, action_loss, aux_loss = triples[-1]
+                    else:
+                        for batch in tqdm.tqdm(diter, total=len(diter), leave=False, dynamic_ncols=True):
+                            observations, prev_actions, masks, corrected, weights = batch
+                            loss, action_loss, aux_loss = self._update_agent(
+                                observations, prev_actions, masks, corrected, weights,
+                                time_major=resident,
+                            )
+                            writer.add_scalar(f"train_loss_iter_{dagger_it}", loss, step_id)
+                            writer.add_scalar(f"train_action_loss_iter_{dagger_it}", action_loss, step_id)
+                            writer.add_scalar(f"train_aux_loss_iter_{dagger_it}", aux_loss, step_id)
+                            step_id += 1
                     logger.info(
                         f"[dagger it {dagger_it} epoch {epoch}] loss={loss:.4f} action={action_loss:.4f} aux={aux_loss:.4f}"
                     )
@@ -180,6 +194,73 @@ class DaggerTrainer(BaseVLNCETrainer):
             self.mesh, max(1, int(self.config.NUM_ENVIRONMENTS)),
             tag="TPU.DAGGER_RESIDENT",
         )
+
+    def _fused_epoch_ok(self) -> bool:
+        """Whether the fused epoch scan (TPU.RESIDENT_EPOCH_SCAN) can run:
+        single-process (the scan can't stitch cross-process batches) and, on
+        a mesh, IL.batch_size divisible by the data width (the scan body's
+        shard_map cannot env-pad)."""
+        cfg = self.config
+        if not bool(getattr(cfg.TPU, "RESIDENT_EPOCH_SCAN", False)):
+            return False
+        if jax.process_count() > 1:
+            logger.warning(
+                "TPU.RESIDENT_EPOCH_SCAN: multi-process run — falling back "
+                "to per-batch resident updates"
+            )
+            return False
+        if self.mesh is not None:
+            from vlnce_tpu.parallel.mesh import DATA_AXIS
+
+            n_data = self.mesh.shape[DATA_AXIS]
+            if int(cfg.IL.batch_size) % n_data != 0:
+                logger.warning(
+                    f"TPU.RESIDENT_EPOCH_SCAN: IL.batch_size="
+                    f"{cfg.IL.batch_size} doesn't divide the {n_data}-way "
+                    f"data mesh — falling back to per-batch resident updates"
+                )
+                return False
+        return True
+
+    def _run_fused_epoch(self, riter) -> List[Tuple[float, float, float]]:
+        """One training epoch as a handful of device programs: lax.scan over
+        consecutive same-length-bucket batch runs, gather + IL update fused
+        per step (data/device_bank.py:build_epoch_scan). Batch composition
+        and order are identical to the per-batch path (shared
+        _epoch_batches stream). Returns per-batch (loss, action, aux)."""
+        from vlnce_tpu.data.device_bank import build_epoch_scan
+
+        bank = riter.bank
+        out: List[Tuple[float, float, float]] = []
+        for T_b, idxs in riter.epoch_runs():
+            K, N = idxs.shape
+            key = (T_b, N, K)
+            fn = self._epoch_scan_cache.get(key)
+            if fn is None:
+                fn = build_epoch_scan(
+                    self.policy.module, self.optimizer,
+                    self.policy.num_recurrent_layers, self.policy.hidden_size,
+                    self.mesh, T_b, N,
+                    feat_shapes=tuple(sorted(
+                        (k, tuple(v)) for k, v in bank.feat_shapes.items()
+                    )),
+                    instr_uuid=bank.instr_uuid,
+                )
+                self._epoch_scan_cache[key] = fn
+            params, optim_state, losses = fn(
+                self.policy.params, self.optim_state,
+                *bank.epoch_scan_args(idxs, riter.coef),
+            )
+            self.policy.params = params
+            self.optim_state = optim_state
+            # ONE readback per run (K batches)
+            loss, action_loss, aux_loss = jax.device_get(losses)
+            out.extend(zip(
+                np.asarray(loss).tolist(),
+                np.asarray(action_loss).tolist(),
+                np.asarray(aux_loss).tolist(),
+            ))
+        return out
 
     # ----------------------------------------------------- resident pipeline
     def _resident_iterator(self, data_it: int, seed: int):
