@@ -337,3 +337,58 @@ def test_collect_device_sharded_matches_single(tmp_path):
             np.asarray(single["actions"][k]), np.asarray(sharded["actions"][k]),
             atol=1e-5, err_msg=f"actions/{k}",
         )
+
+
+@pytest.mark.slow  # >25s compile-heavy; full tier: pytest -m ""
+def test_ppo_update_scan_matches_per_minibatch(tmp_path):
+    """update_device_scan (all ppo_epoch x num_mini_batch updates fused into
+    one lax.scan program, TPU.PPO_UPDATE_SCAN) produces the same stats and
+    parameters as the per-minibatch update_device loop: same rng permutation
+    stream, same step math."""
+    from vlnce_tpu.rl.device_rollout import DeviceRolloutCollector
+
+    cfg = _waypoint_cfg(str(tmp_path), extra=[
+        "RL.PPO.num_steps", 3,
+        "RL.PPO.num_mini_batch", 2,
+        "RL.PPO.ppo_epoch", 2,
+        "TPU.ON_DEVICE_ROLLOUT", True,
+    ])
+    trainer = registry.get_trainer("ddppo-waypoint")(cfg)
+    cfg = trainer.config
+    env_cls = registry.get_env(cfg.ENV_NAME)
+    probe = env_cls(cfg.clone())
+
+    class _H:
+        observation_spaces = [probe.observation_space]
+
+    trainer._set_observation_space(_H())
+    probe.close()
+    trainer._initialize_policy_rl(load_from_ckpt=False)
+
+    N = 2
+    collector = DeviceRolloutCollector(trainer.policy, trainer.obs_transforms, cfg, N)
+    collector.initial_carry_and_obs()
+    cer = np.zeros((N, 1), np.float32)
+    stats0 = {"count": np.zeros((N, 1), np.float32)}
+    batch, _ = collector.collect_device(cer, stats0, jax.random.PRNGKey(0))
+
+    copy = lambda t: jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)), t)
+    params0 = copy(trainer.policy.params)
+    optim0 = copy(trainer.agent.optim_state)
+
+    stats_loop = trainer.agent.update_device(batch, np.random.RandomState(7))
+    params_loop = jax.tree_util.tree_map(np.asarray, trainer.policy.params)
+
+    trainer.policy.params = copy(params0)
+    trainer.agent.optim_state = copy(optim0)
+    stats_scan = trainer.agent.update_device_scan(batch, np.random.RandomState(7))
+    params_scan = jax.tree_util.tree_map(np.asarray, trainer.policy.params)
+
+    assert set(stats_scan) == set(stats_loop)
+    for k in stats_loop:
+        np.testing.assert_allclose(stats_scan[k], stats_loop[k], rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        params_scan, params_loop,
+    )

@@ -125,6 +125,12 @@ _C.TPU.PAD_ENV_BATCH = True
 # upload) when it has at most this many episodes; larger splits fall back to
 # re-uploading the per-rollout episode queue (~65KB/episode of HBM when on)
 _C.TPU.EPISODE_BANK_MAX = 8192
+# fuse all ppo_epoch x num_mini_batch PPO updates over a device-resident
+# rollout batch into ONE lax.scan program (minibatch gather + padding + the
+# sharded step per scan step, one stats readback per update). Requires
+# TPU.ON_DEVICE_ROLLOUT and a single process; same minibatch composition as
+# the per-minibatch path (identical rng permutation stream)
+_C.TPU.PPO_UPDATE_SCAN = False
 # fused epoch scan for the resident DAgger pipeline: each epoch runs as a
 # handful of lax.scan programs (one per consecutive length-bucket run of
 # batches, power-of-2 chunked) with the gather + IL update fused per step —

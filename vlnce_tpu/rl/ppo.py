@@ -154,7 +154,11 @@ class WDDPPO:
         }
         return total, stats
 
-    def _build_step(self, T: int, n: int):
+    def _step_fn(self, T: int):
+        """The unjitted PPO minibatch update (shard_map'd over the data mesh
+        when one is active): called under its own jit by _build_step, and
+        inside the fused lax.scan by update_device_scan."""
+
         def local_step(params, optim_state, sample, valid, clip_param):
             (_, stats), grads = jax.value_and_grad(self._loss, has_aux=True)(
                 params, sample, valid, clip_param, T
@@ -168,7 +172,7 @@ class WDDPPO:
             return params, optim_state, stats
 
         if self.mesh is None:
-            return jax.jit(local_step, donate_argnums=(0, 1))
+            return local_step
 
         # shard the env axis of the minibatch over the DATA mesh axis:
         # obs/actions/etc are [T, n, ...] (axis 1), hidden0/valid are [n, ...]
@@ -184,14 +188,16 @@ class WDDPPO:
             P(None, DATA_AXIS),  # old_log_probs
             P(None, DATA_AXIS),  # adv_targ
         )
-        sharded = shard_map(
+        return shard_map(
             local_step,
             mesh=self.mesh,
             in_specs=(P(), P(), sample_spec, P(DATA_AXIS), P()),
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
-        return jax.jit(sharded, donate_argnums=(0, 1))
+
+    def _build_step(self, T: int, n: int):
+        return jax.jit(self._step_fn(T), donate_argnums=(0, 1))
 
     # -------------------------------------------------------------- padding
     def _pad_sample(self, dev_sample, n: int):
@@ -321,6 +327,91 @@ class WDDPPO:
         n_updates = max(len(all_stats), 1)
         return {
             k: sum(float(s[k]) for s in all_stats) / n_updates
+            for k in ("value_loss", "action_loss", "entropy_loss", "pano_entropy", "offset_entropy", "distance_entropy")
+        }
+
+    def update_device_scan(self, batch: Dict, rng: np.random.RandomState, update_idx: int = 0):
+        """All ppo_epoch x num_mini_batch minibatch updates as ONE jitted
+        lax.scan (TPU.PPO_UPDATE_SCAN): per scan step, the minibatch gather
+        (device takes over the resident rollout batch), env padding, and the
+        production PPO step (the same shard_map closure on a mesh) fuse —
+        zero host dispatches between minibatches and one stats readback per
+        update call, vs ~10 eager takes + 1 dispatch per minibatch in
+        update_device (each a relay round trip on a remote-attached chip).
+
+        Minibatch composition is IDENTICAL to update_device: the same
+        rng.permutation stream, host-generated into a [K, n] index matrix
+        that ships with the dispatch. Single-process only (per-rank batches
+        cannot stitch inside a scan)."""
+        assert jax.process_count() == 1, (
+            "TPU.PPO_UPDATE_SCAN is single-process; use update_device on pods"
+        )
+        clip_param = self.cfg.clip_param
+        if getattr(self.cfg, "use_linear_clip_decay", False) and self.num_updates:
+            clip_param *= max(0.0, 1.0 - update_idx / float(self.num_updates))
+
+        # per-call, never sticky (same contract as update_device)
+        obs_shapes = batch.get("obs_shapes")
+        self._obs_shapes = dict(obs_shapes) if obs_shapes is not None else None
+
+        T, N = batch["value_preds"].shape[:2]
+        if N < self.cfg.num_mini_batch:
+            raise ValueError(
+                f"num_envs ({N}) must be >= RL.PPO.num_mini_batch "
+                f"({self.cfg.num_mini_batch}) — same constraint as the host "
+                f"recurrent generator"
+            )
+        envs_per_batch = N // self.cfg.num_mini_batch
+        rows = []
+        for _ in range(self.cfg.ppo_epoch):
+            perm = rng.permutation(N)
+            for start in range(0, envs_per_batch * self.cfg.num_mini_batch, envs_per_batch):
+                rows.append(perm[start : start + envs_per_batch])
+        idxs = np.asarray(rows, np.int32)  # [K, envs_per_batch]
+
+        key = ("scan", T, envs_per_batch, int(idxs.shape[0]),
+               tuple(sorted((self._obs_shapes or {}).items())))
+        if key not in self._step_cache:
+            step = self._step_fn(T)
+            n_mb = envs_per_batch
+
+            def scan_update(params, optim_state, obs, hidden0, actions,
+                            prev_actions, value_preds, returns, masks,
+                            old_lp, adv, idx_rows, clip):
+                def body(carry, idx):
+                    params, optim_state = carry
+                    take1 = lambda v: jnp.take(v, idx, axis=1)
+                    dev_sample = (
+                        {k: take1(v) for k, v in obs.items()},
+                        jnp.take(hidden0, idx, axis=0),
+                        {k: take1(v) for k, v in actions.items()},
+                        {k: take1(v) for k, v in prev_actions.items()},
+                        take1(value_preds), take1(returns), take1(masks),
+                        take1(old_lp), take1(adv),
+                    )
+                    dev_sample, valid = self._pad_sample(dev_sample, n_mb)
+                    params, optim_state, stats = step(
+                        params, optim_state, dev_sample, valid, clip
+                    )
+                    return (params, optim_state), stats
+
+                (params, optim_state), stats = jax.lax.scan(
+                    body, (params, optim_state), idx_rows
+                )
+                return params, optim_state, stats
+
+            self._step_cache[key] = jax.jit(scan_update, donate_argnums=(0, 1))
+
+        self.policy.params, self.optim_state, stats = self._step_cache[key](
+            self.policy.params, self.optim_state,
+            batch["obs"], batch["hidden0"], batch["actions"],
+            batch["prev_actions"], batch["value_preds"], batch["returns"],
+            batch["masks"], batch["old_log_probs"], batch["advantages"],
+            idxs, np.float32(clip_param),
+        )
+        stats = jax.device_get(stats)  # leaves [K]: one readback total
+        return {
+            k: float(np.mean(np.asarray(stats[k])))
             for k in ("value_loss", "action_loss", "entropy_loss", "pano_entropy", "offset_entropy", "distance_entropy")
         }
 

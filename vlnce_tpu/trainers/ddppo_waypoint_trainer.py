@@ -302,8 +302,16 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
                 t0 = time.time()
                 if on_device:
                     # bootstrap value + GAE already happened inside the
-                    # collection program; minibatches gather on device
-                    stats = self.agent.update_device(device_batch, rng_np, update_idx=update)
+                    # collection program; minibatches gather on device.
+                    # With TPU.PPO_UPDATE_SCAN (single-process), all
+                    # ppo_epoch x num_mini_batch updates fuse into one
+                    # lax.scan program — same minibatch composition.
+                    import jax as _jax
+
+                    if bool(self.config.TPU.PPO_UPDATE_SCAN) and _jax.process_count() == 1:
+                        stats = self.agent.update_device_scan(device_batch, rng_np, update_idx=update)
+                    else:
+                        stats = self.agent.update_device(device_batch, rng_np, update_idx=update)
                 else:
                     last_obs = {k: jnp.asarray(v[rollouts.step]) for k, v in rollouts.observations.items()}
                     last_prev = {k: jnp.asarray(v[rollouts.step]) for k, v in rollouts.prev_actions.items()}
