@@ -497,8 +497,9 @@ def bench_dagger_collect() -> None:
 
     # -- epoch as ONE scan program per length-bucket run ----------------------
     # (TPU.RESIDENT_EPOCH_SCAN) gather + update fuse per scan step: zero host
-    # dispatches between batches, one loss readback per run
-    from vlnce_tpu.data.device_bank import build_epoch_scan
+    # dispatches between batches, one loss readback per run — timed through
+    # the SAME run_fused_epoch the trainer executes
+    from vlnce_tpu.data.device_bank import run_fused_epoch
 
     scan_cache = {}
     state2 = [jax.tree_util.tree_map(lambda x: x + 0, policy.params), None]
@@ -510,28 +511,11 @@ def bench_dagger_collect() -> None:
             policy, transforms, cfg, episodes[:n_eps], 1.0, jax.random.PRNGKey(3)
         )
         riter = ResidentBatchIterator(bank, batch_size=8, seed=1, time_major=True)
-        params, opt = state2
-        losses = None
-        for T_b, idxs in riter.epoch_runs():
-            K, N = idxs.shape
-            key = (T_b, N, K)
-            fn = scan_cache.get(key)
-            if fn is None:
-                fn = build_epoch_scan(
-                    policy.module, optimizer,
-                    policy.num_recurrent_layers, policy.hidden_size,
-                    None, T_b, N,
-                    feat_shapes=tuple(sorted(
-                        (k, tuple(v)) for k, v in bank.feat_shapes.items()
-                    )),
-                    instr_uuid=bank.instr_uuid,
-                )
-                scan_cache[key] = fn
-            params, opt, losses = fn(
-                params, opt, *bank.epoch_scan_args(idxs, riter.coef)
-            )
-        state2[0], state2[1] = params, opt
-        float(np.asarray(losses[0]).sum())  # readback barrier
+        state2[0], state2[1], triples = run_fused_epoch(
+            state2[0], state2[1], riter, policy.module, optimizer,
+            policy.num_recurrent_layers, policy.hidden_size, None, scan_cache,
+        )
+        assert triples  # run_fused_epoch already read the losses back
         return time.perf_counter() - t0, bank.num_steps
 
     run_epoch_scan(B)  # compile (B shapes)

@@ -152,6 +152,43 @@ def build_epoch_scan(module, optimizer, num_layers: int, hidden: int, mesh,
     return jax.jit(epoch, donate_argnums=(0, 1))
 
 
+def run_fused_epoch(params, optim_state, riter: "ResidentBatchIterator",
+                    module, optimizer, num_layers: int, hidden: int, mesh,
+                    cache: Dict[tuple, object]):
+    """Execute one training epoch through build_epoch_scan programs — THE
+    fused-epoch runner, shared by DaggerTrainer._run_fused_epoch and
+    bench.py so the benchmark times exactly the production code path.
+    `cache` maps (T_b, N, K) -> compiled epoch program (caller-owned, so
+    its lifetime follows the trainer/bench run). Returns (params,
+    optim_state, [(loss, action_loss, aux_loss)] per batch) with ONE
+    readback per run."""
+    bank = riter.bank
+    out = []
+    for T_b, idxs in riter.epoch_runs():
+        K, N = idxs.shape
+        key = (T_b, N, K)
+        fn = cache.get(key)
+        if fn is None:
+            fn = build_epoch_scan(
+                module, optimizer, num_layers, hidden, mesh, T_b, N,
+                feat_shapes=tuple(sorted(
+                    (k, tuple(v)) for k, v in bank.feat_shapes.items()
+                )),
+                instr_uuid=bank.instr_uuid,
+            )
+            cache[key] = fn
+        params, optim_state, losses = fn(
+            params, optim_state, *bank.epoch_scan_args(idxs, riter.coef)
+        )
+        loss, action_loss, aux_loss = jax.device_get(losses)
+        out.extend(zip(
+            np.asarray(loss).tolist(),
+            np.asarray(action_loss).tolist(),
+            np.asarray(aux_loss).tolist(),
+        ))
+    return params, optim_state, out
+
+
 def _pow2_chunks(n: int):
     """Split a run length into descending power-of-2 chunk sizes (13 ->
     8, 4, 1): the epoch jit compiles once per (T_b, N, K), and power-of-2 Ks

@@ -268,16 +268,16 @@ class WDDPPO:
         return sample, g(valid, 0, env_axis0)
 
     # --------------------------------------------------- update (device batch)
-    def update_device(self, batch: Dict, rng: np.random.RandomState, update_idx: int = 0):
-        """PPO update over a DEVICE-resident rollout batch (from
-        DeviceRolloutCollector.collect_device): minibatch env selection is a
-        device gather, so the big obs/returns tensors never visit the host.
-        Same minibatch semantics and the same compiled per-(T, n) step as
-        update() — only the indexing medium differs."""
+    def _minibatch_plan(self, batch: Dict, rng: np.random.RandomState, update_idx: int):
+        """Everything update_device and update_device_scan must agree on —
+        the clip-decay value, the per-call obs_shapes contract, the
+        env-count validation, and the [K, envs_per_batch] minibatch index
+        matrix (ppo_epoch permutation rounds of num_mini_batch slices).
+        ONE implementation, so the fused-scan path can never silently
+        diverge from the per-minibatch loop on composition."""
         clip_param = self.cfg.clip_param
         if getattr(self.cfg, "use_linear_clip_decay", False) and self.num_updates:
             clip_param *= max(0.0, 1.0 - update_idx / float(self.num_updates))
-        clip_param = jnp.asarray(clip_param, jnp.float32)
 
         # per-call, never sticky: a later update() over full-shape host obs
         # must not inherit a device batch's flattened-obs reshape map
@@ -292,34 +292,49 @@ class WDDPPO:
                 f"recurrent generator"
             )
         envs_per_batch = N // self.cfg.num_mini_batch
-        all_stats = []
+        rows = []
         for _ in range(self.cfg.ppo_epoch):
             perm = rng.permutation(N)
             for start in range(0, envs_per_batch * self.cfg.num_mini_batch, envs_per_batch):
-                idx = jnp.asarray(perm[start : start + envs_per_batch])
-                n = int(idx.shape[0])
-                take1 = lambda v: jnp.take(v, idx, axis=1)
-                dev_sample = (
-                    {k: take1(v) for k, v in batch["obs"].items()},
-                    jnp.take(batch["hidden0"], idx, axis=0),
-                    {k: take1(v) for k, v in batch["actions"].items()},
-                    {k: take1(v) for k, v in batch["prev_actions"].items()},
-                    take1(batch["value_preds"]),
-                    take1(batch["returns"]),
-                    take1(batch["masks"]),
-                    take1(batch["old_log_probs"]),
-                    take1(batch["advantages"]),
-                )
-                dev_sample, valid = self._pad_sample(dev_sample, n)
-                dev_sample, valid = self._globalize_sample(dev_sample, valid)
-                n_padded = int(valid.shape[0])
-                key = (T, n_padded, tuple(sorted((self._obs_shapes or {}).items())))
-                if key not in self._step_cache:
-                    self._step_cache[key] = self._build_step(T, n_padded)
-                self.policy.params, self.optim_state, stats = self._step_cache[key](
-                    self.policy.params, self.optim_state, dev_sample, valid, clip_param
-                )
-                all_stats.append(stats)
+                rows.append(perm[start : start + envs_per_batch])
+        return T, envs_per_batch, np.asarray(rows, np.int32), clip_param
+
+    def update_device(self, batch: Dict, rng: np.random.RandomState, update_idx: int = 0):
+        """PPO update over a DEVICE-resident rollout batch (from
+        DeviceRolloutCollector.collect_device): minibatch env selection is a
+        device gather, so the big obs/returns tensors never visit the host.
+        Same minibatch semantics and the same compiled per-(T, n) step as
+        update() — only the indexing medium differs."""
+        T, envs_per_batch, idx_rows, clip_param = self._minibatch_plan(
+            batch, rng, update_idx
+        )
+        clip_param = jnp.asarray(clip_param, jnp.float32)
+        all_stats = []
+        for idx_row in idx_rows:
+            idx = jnp.asarray(idx_row)
+            n = int(idx.shape[0])
+            take1 = lambda v: jnp.take(v, idx, axis=1)
+            dev_sample = (
+                {k: take1(v) for k, v in batch["obs"].items()},
+                jnp.take(batch["hidden0"], idx, axis=0),
+                {k: take1(v) for k, v in batch["actions"].items()},
+                {k: take1(v) for k, v in batch["prev_actions"].items()},
+                take1(batch["value_preds"]),
+                take1(batch["returns"]),
+                take1(batch["masks"]),
+                take1(batch["old_log_probs"]),
+                take1(batch["advantages"]),
+            )
+            dev_sample, valid = self._pad_sample(dev_sample, n)
+            dev_sample, valid = self._globalize_sample(dev_sample, valid)
+            n_padded = int(valid.shape[0])
+            key = (T, n_padded, tuple(sorted((self._obs_shapes or {}).items())))
+            if key not in self._step_cache:
+                self._step_cache[key] = self._build_step(T, n_padded)
+            self.policy.params, self.optim_state, stats = self._step_cache[key](
+                self.policy.params, self.optim_state, dev_sample, valid, clip_param
+            )
+            all_stats.append(stats)
 
         # ONE batched readback for all minibatch stats (per-call readbacks pay
         # full relay latency on remote-attached chips)
@@ -346,28 +361,9 @@ class WDDPPO:
         assert jax.process_count() == 1, (
             "TPU.PPO_UPDATE_SCAN is single-process; use update_device on pods"
         )
-        clip_param = self.cfg.clip_param
-        if getattr(self.cfg, "use_linear_clip_decay", False) and self.num_updates:
-            clip_param *= max(0.0, 1.0 - update_idx / float(self.num_updates))
-
-        # per-call, never sticky (same contract as update_device)
-        obs_shapes = batch.get("obs_shapes")
-        self._obs_shapes = dict(obs_shapes) if obs_shapes is not None else None
-
-        T, N = batch["value_preds"].shape[:2]
-        if N < self.cfg.num_mini_batch:
-            raise ValueError(
-                f"num_envs ({N}) must be >= RL.PPO.num_mini_batch "
-                f"({self.cfg.num_mini_batch}) — same constraint as the host "
-                f"recurrent generator"
-            )
-        envs_per_batch = N // self.cfg.num_mini_batch
-        rows = []
-        for _ in range(self.cfg.ppo_epoch):
-            perm = rng.permutation(N)
-            for start in range(0, envs_per_batch * self.cfg.num_mini_batch, envs_per_batch):
-                rows.append(perm[start : start + envs_per_batch])
-        idxs = np.asarray(rows, np.int32)  # [K, envs_per_batch]
+        T, envs_per_batch, idxs, clip_param = self._minibatch_plan(
+            batch, rng, update_idx
+        )
 
         key = ("scan", T, envs_per_batch, int(idxs.shape[0]),
                tuple(sorted((self._obs_shapes or {}).items())))

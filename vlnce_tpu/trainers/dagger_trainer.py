@@ -47,16 +47,14 @@ class DaggerTrainer(BaseVLNCETrainer):
         self.features_dir = config.IL.DAGGER.lmdb_features_dir.format(
             split=config.TASK_CONFIG.DATASET.SPLIT
         )
-        import jax as _jax
-
-        if _jax.process_count() > 1 and not config.IL.DAGGER.preload_lmdb_features:
+        if jax.process_count() > 1 and not config.IL.DAGGER.preload_lmdb_features:
             # pod collection: each rank collects its episode slice
             # (_collection_plan rank_slice) into a RANK-LOCAL store shard —
             # the store is single-writer, and a shared dir would have every
             # rank racing the same files. Training already consumes
             # per-process shards (prepare_global_batch). Preloaded stores
             # stay shared read-only (from_store takes the rank slice).
-            self.features_dir = f"{self.features_dir}.rank{_jax.process_index()}"
+            self.features_dir = f"{self.features_dir}.rank{jax.process_index()}"
             logger.info(f"multi-process DAgger: rank-local store {self.features_dir}")
         super().__init__(config)
         self._train_step = None  # built lazily once the policy exists
@@ -121,14 +119,18 @@ class DaggerTrainer(BaseVLNCETrainer):
                     # (IL.prefetch_batches); the fused epoch scan has no
                     # host work to hide — batches are gathered on device
                     diter = PrefetchIterator(diter, depth=config.IL.prefetch_batches)
+                def log_batch(loss, action_loss, aux_loss):
+                    nonlocal step_id
+                    writer.add_scalar(f"train_loss_iter_{dagger_it}", loss, step_id)
+                    writer.add_scalar(f"train_action_loss_iter_{dagger_it}", action_loss, step_id)
+                    writer.add_scalar(f"train_aux_loss_iter_{dagger_it}", aux_loss, step_id)
+                    step_id += 1
+
                 for epoch in tqdm.trange(config.IL.epochs, dynamic_ncols=True):
                     if fused:
                         triples = self._run_fused_epoch(diter)
-                        for loss, action_loss, aux_loss in triples:
-                            writer.add_scalar(f"train_loss_iter_{dagger_it}", loss, step_id)
-                            writer.add_scalar(f"train_action_loss_iter_{dagger_it}", action_loss, step_id)
-                            writer.add_scalar(f"train_aux_loss_iter_{dagger_it}", aux_loss, step_id)
-                            step_id += 1
+                        for triple in triples:
+                            log_batch(*triple)
                         loss, action_loss, aux_loss = triples[-1]
                     else:
                         for batch in tqdm.tqdm(diter, total=len(diter), leave=False, dynamic_ncols=True):
@@ -137,10 +139,7 @@ class DaggerTrainer(BaseVLNCETrainer):
                                 observations, prev_actions, masks, corrected, weights,
                                 time_major=resident,
                             )
-                            writer.add_scalar(f"train_loss_iter_{dagger_it}", loss, step_id)
-                            writer.add_scalar(f"train_action_loss_iter_{dagger_it}", action_loss, step_id)
-                            writer.add_scalar(f"train_aux_loss_iter_{dagger_it}", aux_loss, step_id)
-                            step_id += 1
+                            log_batch(loss, action_loss, aux_loss)
                     logger.info(
                         f"[dagger it {dagger_it} epoch {epoch}] loss={loss:.4f} action={action_loss:.4f} aux={aux_loss:.4f}"
                     )
@@ -225,41 +224,17 @@ class DaggerTrainer(BaseVLNCETrainer):
     def _run_fused_epoch(self, riter) -> List[Tuple[float, float, float]]:
         """One training epoch as a handful of device programs: lax.scan over
         consecutive same-length-bucket batch runs, gather + IL update fused
-        per step (data/device_bank.py:build_epoch_scan). Batch composition
+        per step (data/device_bank.py:run_fused_epoch). Batch composition
         and order are identical to the per-batch path (shared
         _epoch_batches stream). Returns per-batch (loss, action, aux)."""
-        from vlnce_tpu.data.device_bank import build_epoch_scan
+        from vlnce_tpu.data.device_bank import run_fused_epoch
 
-        bank = riter.bank
-        out: List[Tuple[float, float, float]] = []
-        for T_b, idxs in riter.epoch_runs():
-            K, N = idxs.shape
-            key = (T_b, N, K)
-            fn = self._epoch_scan_cache.get(key)
-            if fn is None:
-                fn = build_epoch_scan(
-                    self.policy.module, self.optimizer,
-                    self.policy.num_recurrent_layers, self.policy.hidden_size,
-                    self.mesh, T_b, N,
-                    feat_shapes=tuple(sorted(
-                        (k, tuple(v)) for k, v in bank.feat_shapes.items()
-                    )),
-                    instr_uuid=bank.instr_uuid,
-                )
-                self._epoch_scan_cache[key] = fn
-            params, optim_state, losses = fn(
-                self.policy.params, self.optim_state,
-                *bank.epoch_scan_args(idxs, riter.coef),
-            )
-            self.policy.params = params
-            self.optim_state = optim_state
-            # ONE readback per run (K batches)
-            loss, action_loss, aux_loss = jax.device_get(losses)
-            out.extend(zip(
-                np.asarray(loss).tolist(),
-                np.asarray(action_loss).tolist(),
-                np.asarray(aux_loss).tolist(),
-            ))
+        self.policy.params, self.optim_state, out = run_fused_epoch(
+            self.policy.params, self.optim_state, riter,
+            self.policy.module, self.optimizer,
+            self.policy.num_recurrent_layers, self.policy.hidden_size,
+            self.mesh, self._epoch_scan_cache,
+        )
         return out
 
     # ----------------------------------------------------- resident pipeline
@@ -278,8 +253,6 @@ class DaggerTrainer(BaseVLNCETrainer):
         config = self.config
         if config.IL.DAGGER.preload_lmdb_features:
             if self._bank is None:
-                import jax as _jax
-
                 from vlnce_tpu.parallel.distributed import rank_slice
 
                 reader = TrajectoryStoreReader(self.features_dir)
@@ -293,7 +266,7 @@ class DaggerTrainer(BaseVLNCETrainer):
                     # is a local read (no reshard per batch); multi-process
                     # ranks bank only their shard on LOCAL devices and the
                     # sharded step stitches batches (prepare_global_batch)
-                    mesh=None if _jax.process_count() > 1 else self.mesh,
+                    mesh=None if jax.process_count() > 1 else self.mesh,
                     indices=rank_slice(range(len(reader))),
                 )
                 reader.close()

@@ -111,9 +111,7 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
         mesh = resolve_training_mesh(config)
         self._collector_mesh = None
         if mesh is not None and bool(config.TPU.ON_DEVICE_ROLLOUT):
-            import jax as _jax
-
-            if _jax.process_count() > 1:
+            if jax.process_count() > 1:
                 # the collection scan feeds rank-local host scene arrays,
                 # which cannot enter a jit sharded over non-addressable
                 # devices: each rank collects its env pool locally and
@@ -306,9 +304,7 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
                     # With TPU.PPO_UPDATE_SCAN (single-process), all
                     # ppo_epoch x num_mini_batch updates fuse into one
                     # lax.scan program — same minibatch composition.
-                    import jax as _jax
-
-                    if bool(self.config.TPU.PPO_UPDATE_SCAN) and _jax.process_count() == 1:
+                    if bool(self.config.TPU.PPO_UPDATE_SCAN) and jax.process_count() == 1:
                         stats = self.agent.update_device_scan(device_batch, rng_np, update_idx=update)
                     else:
                         stats = self.agent.update_device(device_batch, rng_np, update_idx=update)
@@ -363,12 +359,16 @@ class DDPPOWaypointTrainer(BaseVLNCETrainer):
         )
 
     def _save_interrupted_state(self, update: int, count_steps: int) -> None:
-        # synchronous: the process exits for requeue right after this write
+        # synchronous: the process exits for requeue right after this write.
+        # all_ranks: requeue_path is typically node-local (no shared FS on
+        # TPU-VM workers) — every rank must find its own file on restart or
+        # the pod resumes desynchronized
         save_checkpoint(
             self.config.RL.DDPPO.requeue_path,
             self.policy.params, config=self.config,
             optim_state=self.agent.optim_state,
             extra_state={"update": update, "count_steps": count_steps},
+            all_ranks=True,
         )
         logger.info("Saved interrupted state for requeue")
 

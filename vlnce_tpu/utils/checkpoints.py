@@ -115,11 +115,14 @@ def save_checkpoint(
     optim_state=None,
     extra_state: Optional[Dict[str, Any]] = None,
     async_write: bool = False,
+    all_ranks: bool = False,
 ) -> None:
-    # one writer per pod: params are replicated, so non-zero ranks writing
-    # the same shared path would only duplicate IO (every trainer save —
-    # periodic checkpoints AND the requeue interrupted state — inherits this)
-    if jax.process_count() > 1 and jax.process_index() != 0:
+    # one writer per pod by default: params are replicated, so non-zero
+    # ranks writing the same shared path would only duplicate IO. all_ranks
+    # opts out for NODE-LOCAL paths every rank must be able to read back —
+    # the requeue interrupted state on pods without a shared filesystem
+    # (unique temp names keep concurrent same-path writes benign).
+    if not all_ranks and jax.process_count() > 1 and jax.process_index() != 0:
         return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # ONE batched device->host transfer for the whole checkpoint tree
