@@ -851,16 +851,22 @@ def _require_devices(timeout_s: float = 240.0) -> None:
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
-    if t.is_alive():
-        print(
-            f"bench: device backend init did not complete within "
-            f"{timeout_s:.0f}s (TPU relay down?); aborting",
-            file=sys.stderr,
+    if t.is_alive() or err:
+        reason = (
+            f"device backend init did not complete within {timeout_s:.0f}s "
+            f"(TPU relay down?)" if t.is_alive()
+            else f"device backend init failed: {err[0]}"
         )
-        os._exit(2)  # the init thread is unkillable; exit hard
-    if err:
-        print(f"bench: device backend init failed: {err[0]}", file=sys.stderr)
-        raise SystemExit(2)
+        print(f"bench: {reason}; aborting", file=sys.stderr)
+        # an honest machine-readable line for the harness: no number was
+        # measured (value null), and why
+        print(json.dumps({
+            "metric": "cma_policy_env_steps_per_sec_per_chip",
+            "value": None,
+            "unit": "env-steps/s",
+            "error": reason,
+        }))
+        os._exit(2)  # a hung init thread is unkillable; exit hard
 
 
 def main() -> None:
