@@ -685,11 +685,9 @@ def bench_recollect() -> None:
     )
 
 
-def bench_rl_rollout() -> None:
-    """On-device DD-PPO rollout collection throughput: the production
-    DeviceRolloutCollector scan (12-pano render + waypoint policy act +
-    GO_TOWARD_POINT dynamics + shaped reward + auto-reset) at production
-    waypoint shapes, one dispatch per rollout."""
+def _setup_waypoint_collector(n_envs: int = 8, t_steps: int = 16):
+    """Shared setup for the waypoint RL benches: config, WaypointPolicy and
+    the production DeviceRolloutCollector at production waypoint shapes."""
     import jax
 
     from vlnce_tpu.config import get_config
@@ -700,10 +698,6 @@ def bench_rl_rollout() -> None:
         get_active_obs_transforms,
     )
     from vlnce_tpu.registry import registry
-    import jax.numpy as jnp
-
-    def jnp_sum_scalar(batch):
-        return jnp.sum(batch["returns"])
 
     from vlnce_tpu.rl.device_rollout import DeviceRolloutCollector
     import vlnce_tpu.trainers  # noqa: F401
@@ -711,7 +705,7 @@ def bench_rl_rollout() -> None:
     from vlnce_tpu.envs import rl_envs  # noqa: F401
 
     ensure_registered()
-    N_ENVS, T = 8, 16
+    N_ENVS, T = n_envs, t_steps
     cfg = get_config(
         opts=[
             "BASE_TASK_CONFIG_PATH", "vlnce_tpu/tasks/config/vlnce_waypoint_task.yaml",
@@ -745,6 +739,22 @@ def bench_rl_rollout() -> None:
     policy.init_params(jax.random.PRNGKey(0), batch_size=1)
     collector = DeviceRolloutCollector(policy, transforms, cfg, N_ENVS)
     collector.initial_carry_and_obs()
+    return policy, collector, cfg, N_ENVS, T
+
+
+def bench_rl_rollout() -> None:
+    """On-device DD-PPO rollout collection throughput: the production
+    DeviceRolloutCollector scan (12-pano render + waypoint policy act +
+    GO_TOWARD_POINT dynamics + shaped reward + auto-reset) at production
+    waypoint shapes, one dispatch per rollout."""
+    import jax
+    import jax.numpy as jnp
+
+    policy, collector, cfg, N_ENVS, T = _setup_waypoint_collector()
+
+    def jnp_sum_scalar(batch):
+        return jnp.sum(batch["returns"])
+
     cer = np.zeros((N_ENVS, 1), np.float32)
     stats = {"count": np.zeros((N_ENVS, 1), np.float32), "reward": np.zeros((N_ENVS, 1), np.float32)}
 
@@ -767,6 +777,72 @@ def bench_rl_rollout() -> None:
                 "value": round(sps, 2),
                 "unit": "env-steps/s",
                 "note": "12-pano render + WPN act + waypoint dynamics + reward + auto-reset (TPU.ON_DEVICE_ROLLOUT)",
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+def bench_ppo_update() -> None:
+    """PPO update throughput over a device-resident rollout batch:
+    update_device (one dispatch + ~10 eager takes per minibatch) vs
+    update_device_scan (all ppo_epoch x num_mini_batch updates fused into ONE
+    lax.scan program, TPU.PPO_UPDATE_SCAN). Same minibatch composition, same
+    production WDDPPO step; the scan variant's gain is pure dispatch-
+    granularity (PERFORMANCE.md, round 3)."""
+    import jax
+
+    policy, collector, cfg, N_ENVS, T = _setup_waypoint_collector()
+
+    from vlnce_tpu.rl.ppo import WDDPPO
+
+    agent = WDDPPO(
+        policy,
+        cfg.RL.PPO,
+        offset_regularize_coef=cfg.RL.PPO.offset_regularize_coef,
+        pano_entropy_coef=cfg.RL.PPO.pano_entropy_coef,
+        offset_entropy_coef=cfg.RL.PPO.offset_entropy_coef,
+        distance_entropy_coef=cfg.RL.PPO.distance_entropy_coef,
+    )
+
+    cer = np.zeros((N_ENVS, 1), np.float32)
+    stats = {"count": np.zeros((N_ENVS, 1), np.float32), "reward": np.zeros((N_ENVS, 1), np.float32)}
+    device_batch, _ = collector.collect_device(cer, stats, jax.random.PRNGKey(1))
+
+    n_minibatch_updates = cfg.RL.PPO.ppo_epoch * cfg.RL.PPO.num_mini_batch
+
+    def time_updates(update_fn, n: int) -> float:
+        rng = np.random.RandomState(0)  # same permutation stream both modes
+        t0 = time.perf_counter()
+        for i in range(n):
+            out = update_fn(device_batch, rng, update_idx=i)
+        assert np.isfinite(out["value_loss"])  # readback happened inside
+        return time.perf_counter() - t0
+
+    results = {}
+    for name, fn in (("per_minibatch", agent.update_device),
+                     ("fused_scan", agent.update_device_scan)):
+        time_updates(fn, 1)  # compile
+        t_short = time_updates(fn, CHAIN_SHORT)
+        t_long = time_updates(fn, CHAIN_SHORT + 8)
+        per_update = (t_long - t_short) / 8
+        if per_update < 0.2 * t_long / (CHAIN_SHORT + 8):  # relay-noise guard
+            per_update = t_long / (CHAIN_SHORT + 8)
+        results[name] = per_update
+
+    print(
+        json.dumps(
+            {
+                "metric": "ppo_update_env_steps_per_sec_per_chip",
+                "value": round(N_ENVS * T / results["fused_scan"], 2),
+                "unit": "env-steps/s",
+                "per_minibatch_ms": round(results["per_minibatch"] * 1e3, 1),
+                "fused_scan_ms": round(results["fused_scan"] * 1e3, 1),
+                "speedup": round(results["per_minibatch"] / results["fused_scan"], 2),
+                "note": (
+                    f"full PPO update ({n_minibatch_updates} minibatch steps) on a "
+                    "device-resident WPN rollout; fused_scan = TPU.PPO_UPDATE_SCAN"
+                ),
             }
         ),
         file=sys.stderr,
@@ -876,6 +952,9 @@ def main() -> None:
         return
     if "--rl-rollout" in sys.argv:
         bench_rl_rollout()
+        return
+    if "--ppo-update" in sys.argv:
+        bench_ppo_update()
         return
     if "--dagger-collect" in sys.argv:
         bench_dagger_collect()

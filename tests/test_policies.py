@@ -150,3 +150,52 @@ def test_waypoint_policy_act_eval_consistency():
     assert set(ent) == {"pano", "offset", "distance"}
     acts = WaypointPolicy.actions_to_env(out)
     assert len(acts) == B
+
+
+@pytest.mark.slow  # two CMA grad-graph compiles; full tier: pytest -m ""
+def test_encoder_remat_is_semantically_invisible():
+    """MODEL.{RGB,DEPTH}_ENCODER.remat (jax.checkpoint on the conv backbones)
+    must not change the param tree, forward outputs, or gradients — it only
+    trades backward-pass recompute for activation memory."""
+    from vlnce_tpu.registry import registry
+    import vlnce_tpu.models  # noqa: F401
+
+    space = il_obs_space()
+    B = 2
+
+    def build(remat: bool):
+        cfg = get_config(opts=SMALL_OPTS + [
+            "MODEL.RGB_ENCODER.trainable", True,
+            "MODEL.DEPTH_ENCODER.trainable", True,
+            "MODEL.RGB_ENCODER.remat", remat,
+            "MODEL.DEPTH_ENCODER.remat", remat,
+        ])
+        pol = registry.get_policy("CMAPolicy").from_config(cfg, space, spaces.Discrete(4))
+        pol.init_params(jax.random.PRNGKey(0), batch_size=B)
+        return pol
+
+    base, rem = build(False), build(True)
+    flat_b = jax.tree_util.tree_leaves_with_path(base.params)
+    flat_r = jax.tree_util.tree_leaves_with_path(rem.params)
+    assert [p for p, _ in flat_b] == [p for p, _ in flat_r]  # identical tree
+    for (_, a), (_, b) in zip(flat_b, flat_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    obs = make_obs(space, B)
+    st = base.initial_rnn_states(B)
+    prev = jnp.zeros((B, 1), jnp.int32)
+    masks = jnp.ones((B, 1), jnp.float32)
+
+    def loss(pol, params):
+        logits, _, _ = pol.module.apply({"params": params}, obs, st, prev, masks)
+        return jnp.sum(jax.nn.log_softmax(logits)[:, 0])
+
+    lb, gb = jax.value_and_grad(lambda p: loss(base, p))(base.params)
+    lr, gr = jax.value_and_grad(lambda p: loss(rem, p))(rem.params)
+    np.testing.assert_allclose(float(lb), float(lr), rtol=1e-6)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gb),
+        jax.tree_util.tree_leaves_with_path(gr),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                                   err_msg=str(pa))

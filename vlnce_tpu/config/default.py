@@ -319,6 +319,9 @@ _C.MODEL.RGB_ENCODER = CN()
 _C.MODEL.RGB_ENCODER.cnn_type = "TorchVisionResNet50"
 _C.MODEL.RGB_ENCODER.output_size = 256
 _C.MODEL.RGB_ENCODER.trainable = False
+# rematerialize the CNN backward (jax.checkpoint): trade recompute FLOPs for
+# activation HBM so full-pixel training fits much larger T*N batches
+_C.MODEL.RGB_ENCODER.remat = False
 
 _C.MODEL.DEPTH_ENCODER = CN()
 _C.MODEL.DEPTH_ENCODER.cnn_type = "VlnResnetDepthEncoder"
@@ -326,6 +329,7 @@ _C.MODEL.DEPTH_ENCODER.output_size = 128
 _C.MODEL.DEPTH_ENCODER.backbone = "resnet50"
 _C.MODEL.DEPTH_ENCODER.ddppo_checkpoint = "data/ddppo-models/gibson-2plus-resnet50.pth"
 _C.MODEL.DEPTH_ENCODER.trainable = False
+_C.MODEL.DEPTH_ENCODER.remat = False
 
 _C.MODEL.STATE_ENCODER = CN()
 _C.MODEL.STATE_ENCODER.hidden_size = 512

@@ -57,6 +57,7 @@ class CMANet(nn.Module):
             output_size=mc.DEPTH_ENCODER.output_size,
             backbone=mc.DEPTH_ENCODER.backbone,
             trainable=mc.DEPTH_ENCODER.trainable,
+            remat=mc.DEPTH_ENCODER.remat,
             spatial_output=True,
             compute_dtype=self.compute_dtype,
             name="depth_encoder",
@@ -68,6 +69,7 @@ class CMANet(nn.Module):
             output_size=mc.RGB_ENCODER.output_size,
             normalize_visual_inputs=mc.normalize_rgb,
             trainable=mc.RGB_ENCODER.trainable,
+            remat=mc.RGB_ENCODER.remat,
             spatial_output=True,
             compute_dtype=self.compute_dtype,
             name="rgb_encoder",

@@ -39,6 +39,12 @@ class VlnResnetDepthEncoder(nn.Module):
     resnet_baseplanes: int = 32
     spatial_output: bool = False
     trainable: bool = False
+    # rematerialize the backbone in the backward pass (jax.checkpoint): the
+    # [B', H, W] conv activations are recomputed instead of stored, letting
+    # full-pixel IL training run much larger T*N batches per chip. Only
+    # meaningful when trainable (stop_gradient already frees frozen
+    # activations). Param tree is unchanged (lifted transform).
+    remat: bool = False
     compute_dtype: Dtype = jnp.float32
 
     def encoder_output_chw(self) -> Tuple[int, int, int]:
@@ -60,7 +66,8 @@ class VlnResnetDepthEncoder(nn.Module):
             x = observations["depth_features"]  # [B, C, h, w] (cached)
         else:
             depth = observations["depth"]  # [B, H, W, 1]
-            feats = GNResNetEncoder(
+            enc_cls = nn.remat(GNResNetEncoder) if self.remat else GNResNetEncoder
+            feats = enc_cls(
                 input_hw=self.input_hw, base_planes=self.resnet_baseplanes,
                 ngroups=self.resnet_baseplanes // 2, backbone=self.backbone,
                 dtype=self.compute_dtype, name="visual_encoder",
@@ -97,6 +104,8 @@ class TorchVisionResNetEncoder(nn.Module):
     # single_spatial_filter=False the original global avgpool is kept and the
     # 4x4 adaptive pool then just broadcasts the pooled vector spatially
     single_spatial_filter: bool = True
+    # rematerialize the CNN in the backward pass (see VlnResnetDepthEncoder)
+    remat: bool = False
     compute_dtype: Dtype = jnp.float32
 
     @property
@@ -119,7 +128,8 @@ class TorchVisionResNetEncoder(nn.Module):
                 mean = jnp.asarray([0.485, 0.456, 0.406], self.compute_dtype)
                 std = jnp.asarray([0.229, 0.224, 0.225], self.compute_dtype)
                 rgb = (rgb - mean) / std
-            feats = TVResNet(version=self.version, dtype=self.compute_dtype, name="cnn")(rgb)
+            cnn_cls = nn.remat(TVResNet) if self.remat else TVResNet
+            feats = cnn_cls(version=self.version, dtype=self.compute_dtype, name="cnn")(rgb)
             if not self.trainable:
                 feats = jax.lax.stop_gradient(feats)
             if self.spatial_output:

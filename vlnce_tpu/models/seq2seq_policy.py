@@ -51,6 +51,7 @@ class Seq2SeqNet(nn.Module):
             output_size=mc.DEPTH_ENCODER.output_size,
             backbone=mc.DEPTH_ENCODER.backbone,
             trainable=mc.DEPTH_ENCODER.trainable,
+            remat=mc.DEPTH_ENCODER.remat,
             spatial_output=False,
             compute_dtype=self.compute_dtype,
             name="depth_encoder",
@@ -60,6 +61,7 @@ class Seq2SeqNet(nn.Module):
             output_size=mc.RGB_ENCODER.output_size,
             normalize_visual_inputs=mc.normalize_rgb,
             trainable=mc.RGB_ENCODER.trainable,
+            remat=mc.RGB_ENCODER.remat,
             spatial_output=False,
             compute_dtype=self.compute_dtype,
             name="rgb_encoder",

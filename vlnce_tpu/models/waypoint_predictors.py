@@ -92,6 +92,7 @@ class WaypointPredictionNet(nn.Module):
             version="resnet50" if mc.RGB_ENCODER.cnn_type == "TorchVisionResNet50" else "resnet18",
             output_size=mc.RGB_ENCODER.output_size,
             normalize_visual_inputs=mc.normalize_rgb,
+            remat=mc.RGB_ENCODER.remat,
             spatial_output=True,
             single_spatial_filter=False,
             compute_dtype=self.compute_dtype,
@@ -108,6 +109,7 @@ class WaypointPredictionNet(nn.Module):
             input_hw=self.depth_hw,
             output_size=mc.DEPTH_ENCODER.output_size,
             backbone=mc.DEPTH_ENCODER.backbone,
+            remat=mc.DEPTH_ENCODER.remat,
             spatial_output=True,
             compute_dtype=self.compute_dtype,
             name="depth_encoder",

@@ -176,6 +176,11 @@ class BaseVLNCETrainer:
         os.makedirs(self.config.RESULTS_DIR, exist_ok=True)
         with TensorboardWriter(self.config.TENSORBOARD_DIR) as writer:
             ckpt_dir = self.config.EVAL_CKPT_PATH_DIR
+            if not ckpt_dir:
+                raise ValueError(
+                    "EVAL_CKPT_PATH_DIR is empty: point it at a checkpoint "
+                    "file or a directory of checkpoints to evaluate"
+                )
             if os.path.isfile(ckpt_dir) or not os.path.isdir(ckpt_dir):
                 self._eval_checkpoint(ckpt_dir, writer, checkpoint_index=0)
                 return
