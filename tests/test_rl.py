@@ -217,3 +217,43 @@ def test_wddppo_obs_shapes_not_sticky():
     with pytest.raises(ValueError):
         agent.update_device(batch, np.random.RandomState(0))
     assert agent._obs_shapes is None
+
+
+def test_discretized_waypoint_env_writes_video(tmp_path):
+    """With VIDEO_OPTION set, the discretized env composites a navigator
+    frame per discrete sub-step and writes the episode video in-env on done
+    (reference environments.py:113-196)."""
+    import vlnce_tpu.tasks  # noqa: F401
+    from vlnce_tpu.config import get_config
+    from vlnce_tpu.envs import ensure_registered
+    from vlnce_tpu.envs.rl_envs import VLNCEWaypointEnvDiscretized
+
+    ensure_registered()
+    cfg = get_config(
+        config_paths=(
+            "vlnce_tpu/config/experiments/synthetic/smoke_waypoint.yaml,"
+            "vlnce_tpu/tasks/config/vlnce_waypoint_DN.yaml"
+        ),
+        opts=[
+            "VIDEO_OPTION", ["disk"],
+            "VIDEO_DIR", str(tmp_path),
+            "TASK_CONFIG.DATASET.NUM_EPISODES", 1,
+            "TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT", 16,
+            "TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH", 16,
+            "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT", 16,
+            "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH", 16,
+        ],
+    )
+    env = VLNCEWaypointEnvDiscretized(cfg)
+    env.reset()
+    assert len(env._video_frames) == 1  # start-pose frame captured on reset
+    _, _, done, _ = env.step(
+        {"action": "GO_TOWARD_POINT", "action_args": {"r": 1.0, "theta": 0.5}}
+    )
+    assert len(env._video_frames) > 1  # one frame per discrete sub-step
+    if not done:
+        _, _, done, _ = env.step({"action": "STOP"})
+    assert done
+    videos = list(tmp_path.glob("*.mp4"))
+    assert len(videos) == 1 and "SPL=" in videos[0].name
+    env.close()

@@ -204,3 +204,39 @@ def test_waypoint_frame_prob_row_without_map():
     )
     assert f_instr.shape[1] > f.shape[1]
     assert f_instr.shape[0] == f.shape[0]
+
+
+def test_navigator_video_frame_composition():
+    """navigator_video_frame (reference utils.py:546-637): pano strip +
+    map-with-waypoint-prediction + instruction panel; the prediction is drawn
+    from the step's START pose."""
+    obs = {
+        "rgb": np.random.randint(0, 255, (12, 24, 32, 3), np.uint8),
+        "instruction": {"text": "walk past the sofa and stop at the door"},
+    }
+    info = {"top_down_map_vlnce": make_metric()}
+    action = {"action": "GO_TOWARD_POINT", "action_args": {"r": 2.0, "theta": 0.0}}
+
+    plain = video.navigator_video_frame(obs, info, frame_width=256)
+    with_wp = video.navigator_video_frame(
+        obs, info, start_pos=[8.0, 0.0, 8.0], start_heading=0.0,
+        action=action, frame_width=256,
+    )
+    assert plain.dtype == np.uint8 and plain.shape[1] == 256
+    assert with_wp.shape == plain.shape
+    # the waypoint triangle (yellow) only appears when action+pose are given
+    yellow = lambda f: ((f == [255, 255, 0]).all(axis=2)).sum()
+    assert yellow(with_wp) > yellow(plain)
+    # quaternion start_heading accepted too ([x,y,z,w] identity, heading 0)
+    with_quat = video.navigator_video_frame(
+        obs, info, start_pos=[8.0, 0.0, 8.0],
+        start_heading=np.array([0.0, 0.0, 0.0, 1.0]), action=action,
+        frame_width=256,
+    )
+    assert yellow(with_quat) > yellow(plain)
+    # single-frame rgb + no map still composes
+    small = video.navigator_video_frame(
+        {"rgb": np.zeros((24, 32, 3), np.uint8), "instruction": "go"}, {},
+        frame_width=128,
+    )
+    assert small.shape[1] == 128

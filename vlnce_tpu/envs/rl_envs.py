@@ -143,7 +143,10 @@ class VLNCEWaypointEnv(RLEnv):
 class VLNCEWaypointEnvDiscretized(VLNCEWaypointEnv):
     """Zero-shot eval of waypoint policies through discrete actions
     (reference environments.py:94-198): each GO_TOWARD_POINT is planned as an
-    obstacle-free TURN/FORWARD sequence and executed step by step."""
+    obstacle-free TURN/FORWARD sequence and executed step by step. With
+    VIDEO_OPTION set, every discrete sub-step is composited into a
+    navigator video frame and the episode video is written in-env on done
+    (reference environments.py:113-196)."""
 
     def __init__(self, config, dataset=None):
         super().__init__(config, dataset=dataset)
@@ -155,15 +158,43 @@ class VLNCEWaypointEnvDiscretized(VLNCEWaypointEnv):
             # 0.13 m for the 0.25 m step (reference environments.py:107)
             goal_radius=round(step_size / 2, 2) + 0.01,
         )
+        self._video_option = list(getattr(config, "VIDEO_OPTION", []) or [])
+        self._video_dir = getattr(config, "VIDEO_DIR", None)
+        self._video_frames: list = []
 
     def get_reward(self, observations) -> float:
         # reference environments.py:111 — the discretized navigator is an
         # eval-only env; no reward measure is required in the task config.
         return 0.0
 
+    def _start_pose(self):
+        state = self._env.sim.get_agent_state()
+        return state.position, state.rotation
+
+    def _record_frame(self, observations, start_pos, start_heading, action) -> None:
+        from vlnce_tpu.utils.video import navigator_video_frame
+
+        self._video_frames.append(
+            navigator_video_frame(
+                observations, self.get_info(observations),
+                start_pos, start_heading, action,
+            )
+        )
+
+    def reset(self):
+        observations = super().reset()
+        if self._video_option:
+            start_pos, start_heading = self._start_pose()
+            self._video_frames = []
+            self._record_frame(observations, start_pos, start_heading, None)
+        return observations
+
     def step(self, action) -> Tuple[Dict, float, bool, Dict]:
         if isinstance(action, dict) and isinstance(action.get("action"), dict):
             action = action["action"]  # unwrap habitat-style nested spec
+        start_pos = start_heading = None
+        if self._video_option:
+            start_pos, start_heading = self._start_pose()
         if isinstance(action, dict) and action.get("action") == "GO_TOWARD_POINT":
             r = float(action["action_args"]["r"])
             theta = float(action["action_args"]["theta"])
@@ -172,6 +203,8 @@ class VLNCEWaypointEnvDiscretized(VLNCEWaypointEnv):
             observations = None
             for discrete_action in plan:
                 observations = self._env.step({"action": int(discrete_action)})
+                if self._video_option:
+                    self._record_frame(observations, start_pos, start_heading, action)
                 if self._env.episode_over:
                     break
             if observations is None:
@@ -185,9 +218,23 @@ class VLNCEWaypointEnvDiscretized(VLNCEWaypointEnv):
                 )
         else:
             observations = self._env.step(action)
-        return (
-            observations,
-            self.get_reward(observations),
-            self.get_done(observations),
-            self.get_info(observations),
-        )
+            if self._video_option:
+                self._record_frame(observations, start_pos, start_heading, action)
+        reward = self.get_reward(observations)
+        done = self.get_done(observations)
+        info = self.get_info(observations)
+        if self._video_option and done:
+            from vlnce_tpu.utils.video import generate_video
+
+            generate_video(
+                video_option=self._video_option,
+                video_dir=self._video_dir,
+                images=self._video_frames,
+                episode_id=self._env.current_episode.episode_id,
+                checkpoint_idx=0,
+                metrics={"SPL": round(float(info.get("spl", 0.0)), 5)},
+                tb_writer=None,
+                fps=8,
+            )
+            self._video_frames = []
+        return observations, reward, done, info

@@ -260,14 +260,114 @@ def waypoint_observations_to_image(
     return frame
 
 
-def navigator_video_frame(observation: Dict, info: Dict, instruction_text: str = "", plan_step: str = "") -> np.ndarray:
+def navigator_video_frame(
+    observation: Dict,
+    info: Dict,
+    start_pos=None,
+    start_heading=None,
+    action: Optional[Dict] = None,
+    frame_width: int = 1024,
+    map_k: str = "top_down_map_vlnce",
+) -> np.ndarray:
     """Frame for the discretized-navigator eval video (reference
-    utils.py:546-637): first-person view + map + instruction + plan state."""
-    frame = observations_to_image(observation, info)
-    text = instruction_text
-    if plan_step:
-        text = f"[{plan_step}] {text}"
-    return append_text_to_image(frame, text)
+    utils.py:546-637): id-labelled pano strip rotated so the rear camera sits
+    at the seams, top-down map with the in-flight waypoint prediction drawn
+    from the step's START pose, and an instruction panel filling the
+    remaining width.
+
+    ``start_pos``/``start_heading`` are the agent pose at the beginning of
+    the waypoint step (the prediction is relative to it, not to the agent's
+    current mid-plan pose); ``start_heading`` accepts a heading float or a
+    [w, x, y, z] quaternion. ``action`` is the waypoint action dict
+    ({"action": ..., "action_args": {"r", "theta"}}) or None.
+    """
+    import cv2
+
+    rgb = np.asarray(observation["rgb"])
+    if rgb.ndim == 3:
+        frames = [rgb.astype(np.uint8)]
+    else:  # stacked panos [P, H, W, 3]
+        frames = [rgb[i].astype(np.uint8) for i in range(rgb.shape[0])]
+    # crop the horizontal overlap between adjacent pano cameras (the
+    # reference crops 80 of 640 px per side, utils.py:570-573) and label
+    # each tile with its camera id
+    crop = frames[0].shape[1] // 8
+    labelled = []
+    for i, f in enumerate(frames):
+        tile = f[:, crop: f.shape[1] - crop, :]
+        band = _label_band(tile.shape[1], str(i), height=14, font_size=0.35)
+        labelled.append(np.concatenate([band, tile], axis=0))
+    if len(labelled) > 1:
+        # reference ordering (utils.py:574-577): reverse (cameras are
+        # indexed counterclockwise, the strip reads left->right) and rotate
+        # by half so the forward camera is centered
+        labelled = labelled[::-1]
+        half = len(labelled) // 2
+        labelled = labelled[half:] + labelled[:half]
+    strip = np.concatenate(labelled, axis=1)
+    new_h = max(1, int(frame_width / strip.shape[1] * strip.shape[0]))
+    strip = cv2.resize(strip, (frame_width, new_h), interpolation=cv2.INTER_CUBIC)
+
+    metric = (info or {}).get(map_k)
+    if metric is None:
+        text = _instruction_text(observation)
+        return append_text_to_image(strip, text) if text else strip
+
+    from vlnce_tpu.utils import maps as map_utils
+
+    top_down = np.array(metric["map"], copy=True)
+    if (
+        action is not None
+        and isinstance(action.get("action_args"), dict)
+        and start_pos is not None
+        and start_heading is not None
+    ):
+        heading = np.asarray(start_heading, dtype=np.float64)
+        if heading.ndim and heading.size == 4:
+            from vlnce_tpu.tasks.geometry import heading_from_quaternion
+
+            heading = heading_from_quaternion(heading)
+        else:
+            heading = float(heading)
+        from vlnce_tpu.tasks.geometry import rtheta_to_global_coordinates
+
+        waypoint = rtheta_to_global_coordinates(
+            start_pos, heading,
+            float(action["action_args"]["r"]),
+            float(action["action_args"]["theta"]),
+        )
+        map_utils.draw_waypoint_prediction(
+            top_down, waypoint, metric["meters_per_px"], metric["world_size"]
+        )
+    top_down = map_utils.colorize_topdown_map(
+        top_down, metric.get("fog_of_war_mask"), fog_of_war_desat_amount=0.75
+    )
+    map_utils.draw_agent(
+        top_down, metric["agent_map_coord"], metric["agent_angle"],
+        metric["meters_per_px"],
+    )
+    if top_down.shape[0] > top_down.shape[1]:  # landscape for the bottom row
+        top_down = np.rot90(top_down, 1).copy()
+
+    map_h = max(1, strip.shape[0])
+    map_w = max(1, int(top_down.shape[1] * map_h / top_down.shape[0]))
+    map_w = min(map_w, frame_width)
+    top_down = cv2.resize(top_down, (map_w, map_h), interpolation=cv2.INTER_CUBIC)
+    inst_w = frame_width - map_w
+    if inst_w > 0:
+        panel = _instruction_panel(map_h, inst_w, _instruction_text(observation))
+        bottom = np.concatenate([panel, top_down], axis=1)
+    else:
+        bottom = top_down
+    divider = np.full((24, frame_width, 3), 255, np.uint8)
+    return np.concatenate([strip, divider, bottom], axis=0).astype(np.uint8)
+
+
+def _instruction_text(observation: Dict) -> str:
+    inst = observation.get("instruction")
+    if isinstance(inst, dict):
+        return str(inst.get("text", ""))
+    return inst if isinstance(inst, str) else ""
 
 
 def append_text_to_image(image: np.ndarray, text: str, font_size: float = 0.5) -> np.ndarray:
