@@ -935,13 +935,27 @@ def _require_devices(timeout_s: float = 240.0) -> None:
         )
         print(f"bench: {reason}; aborting", file=sys.stderr)
         # an honest machine-readable line for the harness: no number was
-        # measured (value null), and why
+        # measured (value null), and why — named for the bench that was
+        # actually requested
+        flag_metrics = {
+            "--closed-loop": "closed_loop_on_device_env_steps_per_sec_per_chip",
+            "--rl-rollout": "on_device_rl_rollout_env_steps_per_sec_per_chip",
+            "--ppo-update": "ppo_update_env_steps_per_sec_per_chip",
+            "--dagger-collect": "on_device_dagger_collect_env_steps_per_sec_per_chip",
+            "--recollect": "on_device_recollect_env_steps_per_sec_per_chip",
+        }
+        metric = next(
+            (m for f, m in flag_metrics.items() if f in sys.argv),
+            "cma_policy_env_steps_per_sec_per_chip",
+        )
         print(json.dumps({
-            "metric": "cma_policy_env_steps_per_sec_per_chip",
+            "metric": metric,
             "value": None,
             "unit": "env-steps/s",
             "error": reason,
         }))
+        sys.stdout.flush()  # os._exit skips interpreter shutdown/stdio flush
+        sys.stderr.flush()
         os._exit(2)  # a hung init thread is unkillable; exit hard
 
 

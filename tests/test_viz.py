@@ -240,3 +240,23 @@ def test_navigator_video_frame_composition():
         frame_width=128,
     )
     assert small.shape[1] == 128
+    # non-dict actions (int/str discrete forms Env.step accepts) must not
+    # crash the recorder, and token-array instruction obs use the explicit
+    # instruction_text override for the panel
+    tok_obs = dict(obs, instruction=np.zeros((200,), np.int32))
+    f_int = video.navigator_video_frame(
+        tok_obs, info, start_pos=[8.0, 0.0, 8.0], start_heading=0.0,
+        action=0, frame_width=256, instruction_text="turn left at the lamp",
+    )
+    f_blank = video.navigator_video_frame(
+        tok_obs, info, start_pos=[8.0, 0.0, 8.0], start_heading=0.0,
+        action=0, frame_width=256,
+    )
+    assert f_int.shape == f_blank.shape
+    # the override renders ink on the panel; the token-array fallback is blank
+    assert (f_int != f_blank).any()
+    # single-camera frames are not seam-cropped: the tile keeps full width
+    # (pano tiles lose 2*W//8; a lone 32px frame must contribute all 32 cols)
+    assert video.navigator_video_frame(
+        {"rgb": np.full((24, 32, 3), 7, np.uint8)}, {}, frame_width=32,
+    ).shape[1] == 32

@@ -174,10 +174,15 @@ class VLNCEWaypointEnvDiscretized(VLNCEWaypointEnv):
     def _record_frame(self, observations, start_pos, start_heading, action) -> None:
         from vlnce_tpu.utils.video import navigator_video_frame
 
+        # the production instruction obs is a token array; the panel text
+        # comes from the episode record instead
+        instruction = getattr(self._env.current_episode, "instruction", None)
+        text = getattr(instruction, "instruction_text", None)
         self._video_frames.append(
             navigator_video_frame(
                 observations, self.get_info(observations),
                 start_pos, start_heading, action,
+                instruction_text=text,
             )
         )
 

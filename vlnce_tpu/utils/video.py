@@ -268,6 +268,7 @@ def navigator_video_frame(
     action: Optional[Dict] = None,
     frame_width: int = 1024,
     map_k: str = "top_down_map_vlnce",
+    instruction_text: Optional[str] = None,
 ) -> np.ndarray:
     """Frame for the discretized-navigator eval video (reference
     utils.py:546-637): id-labelled pano strip rotated so the rear camera sits
@@ -277,9 +278,13 @@ def navigator_video_frame(
 
     ``start_pos``/``start_heading`` are the agent pose at the beginning of
     the waypoint step (the prediction is relative to it, not to the agent's
-    current mid-plan pose); ``start_heading`` accepts a heading float or a
-    [w, x, y, z] quaternion. ``action`` is the waypoint action dict
+    current mid-plan pose); ``start_heading`` accepts a heading float or an
+    [x, y, z, w] quaternion (the repo-wide convention, tasks/geometry.py).
+    ``action`` is the waypoint action dict
     ({"action": ..., "action_args": {"r", "theta"}}) or None.
+    ``instruction_text`` overrides the text taken from the observation (the
+    production instruction obs is a token array, not text — the env passes
+    the episode's instruction_text through here).
     """
     import cv2
 
@@ -290,11 +295,11 @@ def navigator_video_frame(
         frames = [rgb[i].astype(np.uint8) for i in range(rgb.shape[0])]
     # crop the horizontal overlap between adjacent pano cameras (the
     # reference crops 80 of 640 px per side, utils.py:570-573) and label
-    # each tile with its camera id
-    crop = frames[0].shape[1] // 8
+    # each tile with its camera id; a single camera has no seams to crop
+    crop = frames[0].shape[1] // 8 if len(frames) > 1 else 0
     labelled = []
     for i, f in enumerate(frames):
-        tile = f[:, crop: f.shape[1] - crop, :]
+        tile = f[:, crop: f.shape[1] - crop, :] if crop else f
         band = _label_band(tile.shape[1], str(i), height=14, font_size=0.35)
         labelled.append(np.concatenate([band, tile], axis=0))
     if len(labelled) > 1:
@@ -308,16 +313,17 @@ def navigator_video_frame(
     new_h = max(1, int(frame_width / strip.shape[1] * strip.shape[0]))
     strip = cv2.resize(strip, (frame_width, new_h), interpolation=cv2.INTER_CUBIC)
 
+    if instruction_text is None:
+        instruction_text = _instruction_text(observation)
     metric = (info or {}).get(map_k)
     if metric is None:
-        text = _instruction_text(observation)
-        return append_text_to_image(strip, text) if text else strip
+        return append_text_to_image(strip, instruction_text) if instruction_text else strip
 
     from vlnce_tpu.utils import maps as map_utils
 
     top_down = np.array(metric["map"], copy=True)
     if (
-        action is not None
+        isinstance(action, dict)
         and isinstance(action.get("action_args"), dict)
         and start_pos is not None
         and start_heading is not None
@@ -355,7 +361,7 @@ def navigator_video_frame(
     top_down = cv2.resize(top_down, (map_w, map_h), interpolation=cv2.INTER_CUBIC)
     inst_w = frame_width - map_w
     if inst_w > 0:
-        panel = _instruction_panel(map_h, inst_w, _instruction_text(observation))
+        panel = _instruction_panel(map_h, inst_w, instruction_text)
         bottom = np.concatenate([panel, top_down], axis=1)
     else:
         bottom = top_down
