@@ -49,7 +49,11 @@ class FrozenBatchNorm(nn.Module):
         mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
         var = self.param("running_var", nn.initializers.ones, (self.features,))
         inv = gamma * jax.lax.rsqrt(var + self.epsilon)
-        return (x * inv + (beta - mean * inv)).astype(self.dtype)
+        # Fold the affine in f32 (it's tiny, per-channel), apply in compute
+        # dtype so the big [B,H,W,C] elementwise pass stays bf16 on the VPU.
+        scale = inv.astype(self.dtype)
+        shift = (beta - mean * inv).astype(self.dtype)
+        return x.astype(self.dtype) * scale + shift
 
 
 # ---------------------------------------------------------------------------
@@ -70,13 +74,13 @@ class GNBasicBlock(nn.Module):
         out_ch = self.planes * self.expansion
         residual = x
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2, padding=1, use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, name="gn1")(y).astype(self.dtype)
+        y = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, dtype=self.dtype, name="gn1")(y).astype(self.dtype)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, name="gn2")(y).astype(self.dtype)
+        y = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, dtype=self.dtype, name="gn2")(y).astype(self.dtype)
         if self.downsample:
             residual = nn.Conv(out_ch, (1, 1), strides=(self.stride,) * 2, use_bias=False, dtype=self.dtype, name="ds_conv")(x)
-            residual = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, name="ds_gn")(residual).astype(self.dtype)
+            residual = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, dtype=self.dtype, name="ds_gn")(residual).astype(self.dtype)
         return nn.relu(y + residual)
 
 
@@ -93,16 +97,16 @@ class GNBottleneck(nn.Module):
         out_ch = self.planes * self.expansion
         residual = x
         y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, name="gn1")(y).astype(self.dtype)
+        y = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, dtype=self.dtype, name="gn1")(y).astype(self.dtype)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2, padding=1, use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, name="gn2")(y).astype(self.dtype)
+        y = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, dtype=self.dtype, name="gn2")(y).astype(self.dtype)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
-        y = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, name="gn3")(y).astype(self.dtype)
+        y = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, dtype=self.dtype, name="gn3")(y).astype(self.dtype)
         if self.downsample:
             residual = nn.Conv(out_ch, (1, 1), strides=(self.stride,) * 2, use_bias=False, dtype=self.dtype, name="ds_conv")(x)
-            residual = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, name="ds_gn")(residual).astype(self.dtype)
+            residual = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, dtype=self.dtype, name="ds_gn")(residual).astype(self.dtype)
         return nn.relu(y + residual)
 
 
@@ -123,7 +127,7 @@ class GNResNet(nn.Module):
     def __call__(self, x):
         block_cls = GNBottleneck if self.block == "bottleneck" else GNBasicBlock
         x = nn.Conv(self.base_planes, (7, 7), strides=(2, 2), padding=3, use_bias=False, dtype=self.dtype, name="stem_conv")(x)
-        x = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, name="stem_gn")(x).astype(self.dtype)
+        x = nn.GroupNorm(num_groups=self.ngroups, epsilon=1e-5, dtype=self.dtype, name="stem_gn")(x).astype(self.dtype)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)
 
@@ -170,7 +174,7 @@ class GNResNetEncoder(nn.Module):
         )(x)
         num_c, _, _ = self.output_shape_chw()
         x = nn.Conv(num_c, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="compression_conv")(x)
-        x = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="compression_gn")(x).astype(self.dtype)
+        x = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype, name="compression_gn")(x).astype(self.dtype)
         return nn.relu(x)
 
 
