@@ -886,11 +886,53 @@ def _torch_resnet50(in_channels: int):
 
 
 def bench_torch_cpu_baseline() -> float:
-    """Per-env-step encoder compute of the reference CMA policy in torch/CPU:
-    one resnet50 on [B,3,224,224] + one resnet50 on the avg-pooled depth
-    (reference resnet_encoders.py:17-115, 118-219). Omitting the
-    RNN/attention overhead makes this baseline strictly conservative."""
+    """Per-env-step act compute of the reference CMA policy in torch/CPU.
+
+    Primary path: the FULL reference-layout policy step — instruction biLSTM,
+    groupnorm depth ResNet50, torchvision-style RGB ResNet50, both GRUs,
+    cross-modal attention, action head, greedy argmax — via the clean-room
+    torch mirror the activation-parity suite converts weights from
+    (tests/torch_policies.py mirrors reference cma_policy.py:219-307 +
+    resnet_encoders.py). This is measured-against-reference-equivalent CODE,
+    not a FLOP-equivalent stand-in. Fallback (mirror unimportable): the
+    encoder-only trunk pair, which is strictly conservative."""
     import torch
+
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tests.torch_policies import TorchCMAPolicy
+
+        torch.manual_seed(0)
+        pol = TorchCMAPolicy(
+            H=512, rgb_out=256, depth_out=128, num_actions=4,
+            vocab=2500, emb=50, instr_hidden=128,
+            rgb_version="resnet50", depth_backbone="resnet50",
+            depth_hw=(DEPTH_HW, DEPTH_HW),
+        ).eval()
+        rng = np.random.RandomState(0)
+        obs = {
+            "rgb": torch.from_numpy(
+                rng.randint(0, 255, (B, 3, RGB_HW, RGB_HW)).astype(np.float32)
+            ),
+            "depth": torch.from_numpy(rng.rand(B, 1, DEPTH_HW, DEPTH_HW).astype(np.float32)),
+            "instruction": torch.from_numpy(
+                np.pad(rng.randint(1, 2000, (B, 40)), ((0, 0), (0, INSTR_LEN - 40))).astype(np.int64)
+            ),
+        }
+        rnn_states = torch.zeros(B, 2, 512)
+        prev_actions = torch.zeros(B, 1, dtype=torch.long)
+        masks = torch.ones(B, 1)
+
+        with torch.no_grad():
+            pol(obs, rnn_states, prev_actions, masks)  # warmup
+            t0 = time.perf_counter()
+            for _ in range(BASELINE_ITERS):
+                logits, rnn_states, _ = pol(obs, rnn_states, prev_actions, masks)
+                prev_actions = logits.argmax(dim=1, keepdim=True)
+            dt = time.perf_counter() - t0
+        return B * BASELINE_ITERS / dt
+    except Exception as e:  # pragma: no cover - mirror unavailable
+        print(f"full-policy torch baseline unavailable ({e}); trunk fallback", file=sys.stderr)
 
     rgb_net = _torch_resnet50(3).eval()
     depth_net = _torch_resnet50(1).eval()
@@ -998,6 +1040,7 @@ def main() -> None:
                 "value": round(tpu_sps, 2),
                 "unit": "env-steps/s",
                 "vs_baseline": round(vs, 2) if vs is not None else None,
+                "baseline": "torch-CPU act step of the FULL reference-layout CMA policy (tests/torch_policies.py mirror)",
                 "env_steps_per_sec": round(tpu_sps, 2),
                 "mfu_act": round(mfu_act, 4),
                 "mfu_train": round(mfu_train, 4),
