@@ -22,6 +22,13 @@ import jax.numpy as jnp
 
 from vlnce_tpu.models.rnn_state_encoder import GRUCellParams, LSTMCellParams
 
+# The recurrent matmuls are MXU-tiny ([B, H] @ [H, 4H]); each scan iteration
+# is while-loop latency, not compute. Unrolling packs 8 steps per loop
+# iteration — measured on-chip it trims the instruction biLSTM's share of
+# both the act step and the IL train step (PERFORMANCE.md). Semantics are
+# unchanged (lax.scan handles T % unroll != 0).
+_SCAN_UNROLL = 8
+
 
 class _DirectionalRNN(nn.Module):
     """Scan an RNN over [B, T, E] with per-row lengths; returns full outputs
@@ -53,7 +60,9 @@ class _DirectionalRNN(nn.Module):
                 c = jnp.where(m > 0, c_new, c)
                 return (h, c), h
 
-            (h_final, _), outs = jax.lax.scan(body, (h0, c0), (xi_all, valid.T[:, :, None]))
+            (h_final, _), outs = jax.lax.scan(
+                body, (h0, c0), (xi_all, valid.T[:, :, None]), unroll=_SCAN_UNROLL
+            )
         else:
 
             def body(h, inp):
@@ -62,7 +71,9 @@ class _DirectionalRNN(nn.Module):
                 h = jnp.where(m > 0, h_new, h)
                 return h, h
 
-            h_final, outs = jax.lax.scan(body, h0, (xi_all, valid.T[:, :, None]))
+            h_final, outs = jax.lax.scan(
+                body, h0, (xi_all, valid.T[:, :, None]), unroll=_SCAN_UNROLL
+            )
 
         outs = outs.transpose(1, 0, 2) * valid[:, :, None]  # [B, T, H], zero past length
         return outs, h_final

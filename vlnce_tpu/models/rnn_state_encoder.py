@@ -30,6 +30,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+# Recurrent steps are MXU-tiny; the sequence scan's cost is while-loop
+# latency per iteration. 8 steps per loop iteration measured faster on the
+# chip with unchanged semantics (see instruction_encoder._SCAN_UNROLL).
+_SCAN_UNROLL = 8
+
 
 def _torch_linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray = None) -> jnp.ndarray:
     y = x @ w.T
@@ -138,7 +143,7 @@ class RNNStateEncoder(nn.Module):
                 return h, h
 
             h0 = states[:, 0]
-            h_final, outs = jax.lax.scan(body, h0, (xi_all, masks))
+            h_final, outs = jax.lax.scan(body, h0, (xi_all, masks), unroll=_SCAN_UNROLL)
             return outs, h_final[:, None, :]
 
         def body(carry, inp):
@@ -148,7 +153,9 @@ class RNNStateEncoder(nn.Module):
             h, c = self.cell.step(xi, h, c)
             return (h, c), h
 
-        (h_final, c_final), outs = jax.lax.scan(body, (states[:, 0], states[:, 1]), (xi_all, masks))
+        (h_final, c_final), outs = jax.lax.scan(
+            body, (states[:, 0], states[:, 1]), (xi_all, masks), unroll=_SCAN_UNROLL
+        )
         return outs, jnp.stack([h_final, c_final], axis=1)
 
     def __call__(self, x: jnp.ndarray, states: jnp.ndarray, masks: jnp.ndarray):
