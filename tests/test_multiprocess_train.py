@@ -24,12 +24,22 @@ def test_two_process_update_matches_single_process(tmp_path):
     ref_loss, ref_action, ref_aux = run_update(0, N_GLOBAL)
 
     results = launch_two_process(local_devices=4)
-    # both ranks see the replicated global loss
+    # both ranks see the replicated global loss — this must be exact-ish
+    # (it is literally the same psum output read from two processes)
     np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+    # cross-topology equality carries a measured XLA:CPU noise floor: an
+    # 8-local-device and a 4-local-device process compile DIFFERENT programs
+    # for the same per-env forward, and the bf16 encoder pipeline
+    # reassociates differently between them (probe: env 2's aux term
+    # 2.3214044 vs 2.3212409 — 7e-5 relative — with identical inputs and
+    # params; see test_multichip_parity's module docstring). rtol=5e-4 sits
+    # above that noise while still failing hard on real topology errors —
+    # wrong denominator (8/6 padding = 33%) or missing psum (50%) are three
+    # orders of magnitude larger.
     np.testing.assert_allclose(
         (results[0][0], results[0][1], results[0][2]),
         (ref_loss, ref_action, ref_aux),
-        rtol=2e-5, atol=1e-7,
+        rtol=5e-4, atol=1e-6,
     )
 
 

@@ -154,19 +154,29 @@ class WDDPPO:
         }
         return total, stats
 
+    def _grads_and_stats(self, params, sample, valid, clip_param, T: int):
+        """Globally-reduced PPO gradients + stats for one minibatch: the
+        value_and_grad + psum core shared by the update step and by the
+        sharded-parity tests (which compare gradients ACROSS topologies —
+        the proof that catches wrong denominators/missing psums, since a
+        first Adam step is scale-invariant and post-update params are not
+        sensitive to them)."""
+        (_, stats), grads = jax.value_and_grad(self._loss, has_aux=True)(
+            params, sample, valid, clip_param, T
+        )
+        if self.mesh is not None:
+            # losses are local-sum / global-count: psum completes the mean
+            grads = jax.lax.psum(grads, DATA_AXIS)
+            stats = jax.tree_util.tree_map(lambda x: jax.lax.psum(x, DATA_AXIS), stats)
+        return grads, stats
+
     def _step_fn(self, T: int):
         """The unjitted PPO minibatch update (shard_map'd over the data mesh
         when one is active): called under its own jit by _build_step, and
         inside the fused lax.scan by update_device_scan."""
 
         def local_step(params, optim_state, sample, valid, clip_param):
-            (_, stats), grads = jax.value_and_grad(self._loss, has_aux=True)(
-                params, sample, valid, clip_param, T
-            )
-            if self.mesh is not None:
-                # losses are local-sum / global-count: psum completes the mean
-                grads = jax.lax.psum(grads, DATA_AXIS)
-                stats = jax.tree_util.tree_map(lambda x: jax.lax.psum(x, DATA_AXIS), stats)
+            grads, stats = self._grads_and_stats(params, sample, valid, clip_param, T)
             updates, optim_state = self.optimizer.update(grads, optim_state, params)
             params = optax.apply_updates(params, updates)
             return params, optim_state, stats
@@ -174,10 +184,20 @@ class WDDPPO:
         if self.mesh is None:
             return local_step
 
-        # shard the env axis of the minibatch over the DATA mesh axis:
-        # obs/actions/etc are [T, n, ...] (axis 1), hidden0/valid are [n, ...]
-        # (axis 0); params/opt state replicated; grads psum'd in local_step.
-        sample_spec = (
+        return shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(P(), P(), self._sample_spec(), P(DATA_AXIS), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+
+    def _sample_spec(self):
+        """PartitionSpecs for a rollout sample: the env axis of the minibatch
+        is sharded over the DATA mesh axis — obs/actions/etc are [T, n, ...]
+        (axis 1), hidden0/valid are [n, ...] (axis 0); params/opt state
+        replicated; grads psum'd inside the mapped fn."""
+        return (
             P(None, DATA_AXIS),  # obs dict leaves
             P(DATA_AXIS),  # hidden0
             P(None, DATA_AXIS),  # actions
@@ -188,16 +208,29 @@ class WDDPPO:
             P(None, DATA_AXIS),  # old_log_probs
             P(None, DATA_AXIS),  # adv_targ
         )
-        return shard_map(
-            local_step,
-            mesh=self.mesh,
-            in_specs=(P(), P(), sample_spec, P(DATA_AXIS), P()),
-            out_specs=(P(), P(), P()),
-            check_vma=False,
-        )
 
     def _build_step(self, T: int, n: int):
         return jax.jit(self._step_fn(T), donate_argnums=(0, 1))
+
+    def _build_grads(self, T: int):
+        """Jitted grads-only entry (no optimizer apply), sharded like the
+        update step; used by the cross-topology parity tests."""
+        if self.mesh is None:
+            return jax.jit(
+                lambda params, sample, valid, clip_param: self._grads_and_stats(
+                    params, sample, valid, clip_param, T
+                )
+            )
+        mapped = shard_map(
+            lambda params, sample, valid, clip_param: self._grads_and_stats(
+                params, sample, valid, clip_param, T
+            ),
+            mesh=self.mesh,
+            in_specs=(P(), self._sample_spec(), P(DATA_AXIS), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
 
     # -------------------------------------------------------------- padding
     def _pad_sample(self, dev_sample, n: int):
