@@ -115,6 +115,9 @@ def main() -> None:
             "encoder path). SIMULATOR.TYPE=" + str(task_cfg.SIMULATOR.TYPE)
         )
 
+    from vlnce_tpu.envs.scene_import import apply_scene_geometry
+
+    apply_scene_geometry(task_cfg.SIMULATOR)  # real-scene grids, if configured
     dataset = make_dataset(task_cfg.DATASET.TYPE, task_cfg.DATASET)
     scene_ids = sorted({ep.scene_id for ep in dataset.episodes})
     logger.info(f"{len(scene_ids)} scenes, {args.headings} heading bins")
@@ -161,6 +164,9 @@ def main() -> None:
                 ceil_color=np.broadcast_to(scene.ceil_color, (n, 3)),
                 goal_field=np.ones((n,) + scene.occupancy.shape, np.float32),
                 d0=np.ones((n,), np.float32),
+                origin_xz=np.broadcast_to(
+                    np.asarray(scene.origin, np.float32), (n, 2)
+                ),
             ))
             rgb, depth, rgb_shape, depth_shape = encode_poses(
                 policy, transforms, specs, scenes, pos[chunk], head[chunk]

@@ -112,6 +112,12 @@ _C.TPU.DAGGER_ARCHIVE_STORE = False
 # lookups feeding the encoders' rgb_features/depth_features bypass — the
 # route by which real MP3D scenes ride the device-resident loop.
 _C.TPU.FEATURE_BANK_DIR = ""
+# coverage guard for bank lookups (meters; 0 = off). Poses farther than this
+# from every bank node receive ZERO features instead of the nearest node's
+# wrong view, and episode starts outside coverage fail loudly at load
+# (data/feature_bank.py lookup_features / check_bank_coverage). Lattice
+# spacing s puts true poses up to s/sqrt(2) from a node — set this >= that.
+_C.TPU.FEATURE_BANK_MAX_DIST = 0.0
 # recollection re-simulation as device render scans along GT actions — no
 # env pool (requires GridWorldSim-v0; trainers/device_recollect.py)
 _C.TPU.ON_DEVICE_RECOLLECT = False

@@ -156,18 +156,32 @@ def _scene_key(scene_id: str) -> str:
 
 
 def lookup_features(
-    bank: FeatureBankBatch, pos: jnp.ndarray, heading: jnp.ndarray
-) -> Dict[str, jnp.ndarray]:
+    bank: FeatureBankBatch,
+    pos: jnp.ndarray,
+    heading: jnp.ndarray,
+    max_dist: float = 0.0,
+    return_distance: bool = False,
+):
     """Features at the nearest (node, heading-bin) for each env — jit-safe,
     all contractions.
 
     pos [B, 3] world position; heading [B] radians (counter-clockwise, the
     device-sim convention). Returns {"rgb_features": [B, *rgb_shape],
     "depth_features": [B, *depth_shape]} in f32.
+
+    `max_dist` > 0 guards against silently serving a far node's visuals
+    (lattice spacing s puts true poses up to s/sqrt(2) from a node; anything
+    beyond the configured radius means the pose left the bank's coverage):
+    such lookups return ZERO features — the same "no signal" the padded
+    batch slots carry — instead of the nearest node's wrong view. Set
+    TPU.FEATURE_BANK_MAX_DIST to enable on the scan paths. With
+    `return_distance`, also returns the per-env nearest-node distance [B]
+    for coverage diagnostics.
     """
     B, M, H = bank.rgb.shape[:3]
     xz = jnp.stack([pos[:, 0], pos[:, 2]], axis=-1)  # [B, 2]
     d2 = jnp.sum((bank.node_pos - xz[:, None, :]) ** 2, axis=-1)  # [B, M]
+    d2min = jnp.min(d2, axis=-1)  # [B]
     node_oh = jax.nn.one_hot(jnp.argmin(d2, axis=-1), M, dtype=jnp.float32)
 
     bin_w = 2.0 * jnp.pi / H
@@ -180,9 +194,47 @@ def lookup_features(
         )
         return f
 
-    rgb = contract(bank.rgb).reshape((B,) + bank.rgb_shape)
-    depth = contract(bank.depth).reshape((B,) + bank.depth_shape)
-    return {"rgb_features": rgb, "depth_features": depth}
+    rgb = contract(bank.rgb)
+    depth = contract(bank.depth)
+    if max_dist and max_dist > 0.0:
+        covered = (d2min <= float(max_dist) ** 2).astype(jnp.float32)[:, None]
+        rgb = rgb * covered
+        depth = depth * covered
+    obs = {
+        "rgb_features": rgb.reshape((B,) + bank.rgb_shape),
+        "depth_features": depth.reshape((B,) + bank.depth_shape),
+    }
+    if return_distance:
+        return obs, jnp.sqrt(d2min)
+    return obs
+
+
+def check_bank_coverage(
+    bank_dir: str, episodes: List, max_dist: float
+) -> None:
+    """Loud load-time guard: every episode's START position must be within
+    `max_dist` of a bank node — catches missing-node exports and
+    wrong-scene banks before a silent zero-feature rollout. (In-scan
+    coverage loss falls back to zero features, see lookup_features.)"""
+    if not max_dist or max_dist <= 0.0:
+        return
+    worst = (None, 0.0)
+    for ep in episodes:
+        sid = _scene_key(ep.scene_id)
+        path = os.path.join(bank_dir, f"{sid}.npz")
+        with np.load(path) as z:
+            nodes = z["node_pos"]
+        p = np.asarray(ep.start_position, np.float64)
+        d = float(np.min(np.hypot(nodes[:, 0] - p[0], nodes[:, 1] - p[-1])))
+        if d > worst[1]:
+            worst = (ep.episode_id, d)
+    if worst[1] > max_dist:
+        raise ValueError(
+            f"feature bank does not cover episode {worst[0]}: start is "
+            f"{worst[1]:.2f} m from the nearest bank node "
+            f"(TPU.FEATURE_BANK_MAX_DIST={max_dist}); regenerate the bank "
+            f"with denser nodes or raise the radius"
+        )
 
 
 def encode_poses(

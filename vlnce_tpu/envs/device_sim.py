@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vlnce_tpu.envs.gridworld import _N, _RES, _WORLD_SIZE, get_scene
+from vlnce_tpu.envs.gridworld import _RES, get_scene
 
 _WALL_HEIGHT = 2.0
 _EYE = 1.0  # _EYE_HEIGHT_FRAC * _WALL_HEIGHT
@@ -69,7 +69,12 @@ def camera_specs_from_config(sim_config) -> List[CameraSpec]:
 
 
 class SceneBatch(NamedTuple):
-    """Per-episode scene/goal arrays, stacked along a leading batch axis."""
+    """Per-episode scene/goal arrays, stacked along a leading batch axis.
+
+    `origin_xz` anchors each grid in WORLD coordinates (the x, z of cell
+    [0, 0]'s corner): procedural GridWorld scenes sit at (0, 0); imported
+    real-scene geometry (envs/scene_import.py) keeps its native MP3D frame,
+    so episode start/goal positions flow through unshifted."""
 
     occupancy: jnp.ndarray  # [B, N, N] bool, True = blocked
     wall_colors: jnp.ndarray  # [B, N, N, 3] uint8
@@ -77,22 +82,36 @@ class SceneBatch(NamedTuple):
     ceil_color: jnp.ndarray  # [B, 3] uint8
     goal_field: jnp.ndarray  # [B, N, N] f32 geodesic meters to episode goal (inf = unreachable)
     d0: jnp.ndarray  # [B] f32 start geodesic distance (progress sensor denominator)
+    origin_xz: jnp.ndarray  # [B, 2] f32 world (x, z) of cell [0, 0]'s corner
+
+
+def _pad_grid(a: np.ndarray, n: int, fill) -> np.ndarray:
+    """Pad a [N, N, ...] grid to [n, n, ...]; padding reads as `fill`
+    (blocked occupancy / +inf field), so out-of-scene lookups behave like
+    the boundary walls of a smaller grid."""
+    if a.shape[0] == n:
+        return a
+    pad = [(0, n - a.shape[0]), (0, n - a.shape[1])] + [(0, 0)] * (a.ndim - 2)
+    return np.pad(a, pad, constant_values=fill)
 
 
 def build_scene_batch(episodes) -> SceneBatch:
-    """Stack host GridWorldScene arrays for a batch of episodes.
+    """Stack host scene arrays for a batch of episodes.
 
     goal_field is the elementwise-min Dijkstra field over the episode's
     goals — the device analog of `min over goals` in
-    GridWorldSim.geodesic_distance (gridworld.py:266-282).
+    GridWorldSim.geodesic_distance (gridworld.py:266-282). Scenes of
+    different grid sizes (imported real scenes) pad to the batch max with
+    blocked cells / +inf fields.
     """
-    occ, colors, floor, ceil, fields, d0s = [], [], [], [], [], []
+    occ, colors, floor, ceil, fields, d0s, origins = [], [], [], [], [], [], []
     for ep in episodes:
         scene = get_scene(ep.scene_id)
         occ.append(scene.occupancy)
         colors.append(scene.wall_colors)
         floor.append(scene.floor_color)
         ceil.append(scene.ceil_color)
+        origins.append(scene.origin)
         field = None
         for goal in ep.goals:
             g = np.asarray(goal.position, dtype=np.float64)
@@ -112,6 +131,10 @@ def build_scene_batch(episodes) -> SceneBatch:
         if d0 <= 0.0:
             d0 = max(float(field[si, sj]), 1e-6)
         d0s.append(d0)
+    n = max(a.shape[0] for a in occ)
+    occ = [_pad_grid(a, n, True) for a in occ]
+    colors = [_pad_grid(a, n, 0) for a in colors]
+    fields = [_pad_grid(a, n, np.inf) for a in fields]
     # ONE device_put for the whole batch: per-field jnp.asarray would pay a
     # full round trip each on remote-attached chips (PERFORMANCE.md rule:
     # host-visible work crosses the boundary once, batched)
@@ -122,6 +145,7 @@ def build_scene_batch(episodes) -> SceneBatch:
         ceil_color=np.stack(ceil),
         goal_field=np.stack(fields),
         d0=np.array(d0s, dtype=np.float32),
+        origin_xz=np.array(origins, dtype=np.float32),
     ))
 
 
@@ -130,27 +154,42 @@ def build_scene_batch(episodes) -> SceneBatch:
 # ---------------------------------------------------------------------------
 
 
-def _cell_index(x: jnp.ndarray, z: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _origin_xz(origin) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """origin: None (procedural scenes anchored at (0, 0) — subtracting the
+    literal 0.0 is exact, so compiled math is unchanged) or a [2] world
+    (x, z) of cell [0, 0]'s corner (imported scenes, SceneBatch.origin_xz)."""
+    if origin is None:
+        return jnp.float32(0.0), jnp.float32(0.0)
+    return origin[0], origin[1]
+
+
+def _cell_index(
+    x: jnp.ndarray, z: jnp.ndarray, n: int, origin=None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """world -> clipped cell indices; truncation matches numpy .astype(int32)
     on the non-negative in-world coordinates (gridworld.py:75-79,363-364)."""
-    ci = jnp.clip((x / _RES).astype(jnp.int32), 0, _N - 1)
-    cj = jnp.clip((z / _RES).astype(jnp.int32), 0, _N - 1)
+    ox, oz = _origin_xz(origin)
+    ci = jnp.clip(((x - ox) / _RES).astype(jnp.int32), 0, n - 1)
+    cj = jnp.clip(((z - oz) / _RES).astype(jnp.int32), 0, n - 1)
     return ci, cj
 
 
-def is_navigable(occupancy: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+def is_navigable(occupancy: jnp.ndarray, pos: jnp.ndarray, origin=None) -> jnp.ndarray:
     """occupancy [N,N]; pos [..., 3] -> bool [...] (gridworld.py:205-210)."""
-    ci, cj = _cell_index(pos[..., 0], pos[..., 2])
+    ci, cj = _cell_index(pos[..., 0], pos[..., 2], occupancy.shape[0], origin)
     return ~(_grid_lookup(occupancy, ci, cj) > 0.5)
 
 
-def _advance(occupancy: jnp.ndarray, start: jnp.ndarray, delta: jnp.ndarray, ts: jnp.ndarray):
+def _advance(
+    occupancy: jnp.ndarray, start: jnp.ndarray, delta: jnp.ndarray, ts: jnp.ndarray,
+    origin=None,
+):
     """Walk start -> start+delta at fractions ts, stopping before the first
     blocked sample. Returns (pos, fully_reached). Mirrors the forward walk in
     GridWorldSim.step_filter (gridworld.py:236-246): pos advances through
     consecutively navigable samples only."""
     cands = start[None, :] + delta[None, :] * ts[:, None]  # [K, 3]
-    nav = is_navigable(occupancy, cands)  # [K]
+    nav = is_navigable(occupancy, cands, origin)  # [K]
     k = jnp.sum(jnp.cumprod(nav.astype(jnp.int32)))  # leading-True count
     idx = jnp.maximum(k - 1, 0)
     pos = jnp.where(k > 0, cands[idx], start)
@@ -163,6 +202,7 @@ def step_filter(
     end: jnp.ndarray,
     n_steps: int,
     allow_sliding: bool,
+    origin=None,
 ) -> jnp.ndarray:
     """Collision-filtered move with optional axis sliding — the fixed-shape
     port of GridWorldSim.step_filter (gridworld.py:227-264). `n_steps` must
@@ -170,7 +210,7 @@ def step_filter(
     length used, so sample fractions coincide exactly."""
     delta = end - start
     ts = jnp.linspace(0.0, 1.0, n_steps + 1)[1:]
-    pos, reached = _advance(occupancy, start, delta, ts)
+    pos, reached = _advance(occupancy, start, delta, ts, origin)
     if not allow_sliding:
         return jnp.where(reached, end, pos)
 
@@ -178,8 +218,8 @@ def step_filter(
         remaining = end - pos
         for axis in (0, 2):
             shift = jnp.zeros(3).at[axis].set(remaining[axis])
-            target_ok = is_navigable(occupancy, pos + shift)
-            slid, _ = _advance(occupancy, pos, shift, ts)
+            target_ok = is_navigable(occupancy, pos + shift, origin)
+            slid, _ = _advance(occupancy, pos, shift, ts, origin)
             pos = jnp.where(target_ok, slid, pos)
         return pos
 
@@ -196,6 +236,7 @@ def step_discrete(
     forward_step: float,
     turn_angle: float,
     allow_sliding: bool,
+    origin=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One discrete sim step (STOP/FORWARD/LEFT/RIGHT), single env.
 
@@ -205,7 +246,7 @@ def step_discrete(
     two_pi = 2.0 * math.pi
     fwd = jnp.stack([-jnp.sin(heading), jnp.zeros_like(heading), -jnp.cos(heading)])
     n_steps = max(2, int(forward_step / (0.25 * _RES)))
-    moved = step_filter(occupancy, pos, pos + fwd * forward_step, n_steps, allow_sliding)
+    moved = step_filter(occupancy, pos, pos + fwd * forward_step, n_steps, allow_sliding, origin)
     new_pos = jnp.where(action == 1, moved, pos)
     new_heading = jnp.where(
         action == 2,
@@ -235,6 +276,7 @@ def expert_action(
     goal_radius: float,
     turn_angle: float,
     max_descent: int = 8,
+    origin=None,
 ) -> jnp.ndarray:
     """The oracle/expert action on device — ShortestPathFollower.
     get_next_action + the sensor's None->STOP mapping
@@ -249,7 +291,9 @@ def expert_action(
     selection. Assumes the agent is on a navigable cell (the dynamics
     guarantee it). Returns int32: 0 STOP, 1 FORWARD, 2 LEFT, 3 RIGHT.
     """
-    ci, cj = _cell_index(pos[0], pos[2])
+    _N = field.shape[0]
+    ox, oz = _origin_xz(origin)
+    ci, cj = _cell_index(pos[0], pos[2], _N, origin)
     d_goal = _grid_lookup(field, ci, cj)
     stop = (d_goal <= goal_radius) | ~jnp.isfinite(d_goal)
 
@@ -271,8 +315,8 @@ def expert_action(
         step_ok = cont & improved
         i2 = jnp.where(step_ok, ni[k], i)
         j2 = jnp.where(step_ok, nj[k], j)
-        cx = (i2.astype(jnp.float32) + 0.5) * _RES
-        cz = (j2.astype(jnp.float32) + 0.5) * _RES
+        cx = ox + (i2.astype(jnp.float32) + 0.5) * _RES
+        cz = oz + (j2.astype(jnp.float32) + 0.5) * _RES
         far = jnp.hypot(cx - pos[0], cz - pos[2]) > 0.5 * 0.25
         newly = step_ok & far & ~found
         tx2 = jnp.where(newly, cx, tx)
@@ -296,44 +340,59 @@ def expert_action(
     return jnp.where(stop, 0, steer)
 
 
-def geodesic_at(goal_field: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+def geodesic_at(goal_field: jnp.ndarray, pos: jnp.ndarray, origin=None) -> jnp.ndarray:
     """goal_field [N,N]; pos [3] -> meters (snap handled at field build)."""
-    ci, cj = _cell_index(pos[0], pos[2])
+    ci, cj = _cell_index(pos[0], pos[2], goal_field.shape[0], origin)
     return _grid_lookup(goal_field, ci, cj)
 
 
 _NEAREST_FREE_CACHE: Dict[str, np.ndarray] = {}
 
 
-def nearest_free_cell_map(scene_id: str) -> np.ndarray:
+def nearest_free_cells(occ: np.ndarray) -> np.ndarray:
     """[N,N,2] int32: for every cell, the nearest navigable cell — the
     vectorized (and tie-break-identical: first minimum in the row-major free
     list) equivalent of GridWorldScene.nearest_navigable_cell
-    (gridworld.py:117-121), precomputed once per scene for the device
+    (gridworld.py:117-121). Chunked over query cells so imported real
+    scenes (N up to a few hundred -> tens of thousands of cells) stay at a
+    bounded [chunk, F] distance matrix instead of [N^2, F]."""
+    n = occ.shape[0]
+    free = np.argwhere(~occ)  # row-major, matching the host argmin order
+    ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    cells = np.stack([ii.ravel(), jj.ravel()], axis=1)  # [N*N, 2]
+    out = np.empty((n * n, 2), np.int32)
+    chunk = max(1, (1 << 22) // max(1, len(free)))  # ~32 MiB of int64 d2
+    for lo in range(0, len(cells), chunk):
+        c = cells[lo : lo + chunk]
+        d2 = (
+            (c[:, None, 0] - free[None, :, 0]) ** 2
+            + (c[:, None, 1] - free[None, :, 1]) ** 2
+        )
+        out[lo : lo + chunk] = free[np.argmin(d2, axis=1)]
+    return out.reshape(n, n, 2)
+
+
+def nearest_free_cell_map(scene_id: str) -> np.ndarray:
+    """Per-scene cached nearest_free_cells, precomputed once for the device
     snap_point."""
     if scene_id in _NEAREST_FREE_CACHE:
         return _NEAREST_FREE_CACHE[scene_id]
-    occ = get_scene(scene_id).occupancy
-    free = np.argwhere(~occ)  # row-major, matching the host argmin order
-    ii, jj = np.meshgrid(np.arange(_N), np.arange(_N), indexing="ij")
-    cells = np.stack([ii.ravel(), jj.ravel()], axis=1)  # [N*N, 2]
-    d2 = (
-        (cells[:, None, 0] - free[None, :, 0]) ** 2
-        + (cells[:, None, 1] - free[None, :, 1]) ** 2
-    )
-    nearest = free[np.argmin(d2, axis=1)].astype(np.int32).reshape(_N, _N, 2)
+    nearest = nearest_free_cells(get_scene(scene_id).occupancy)
     _NEAREST_FREE_CACHE[scene_id] = nearest
     return nearest
 
 
-def snap_point(occupancy: jnp.ndarray, nearest_map: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+def snap_point(
+    occupancy: jnp.ndarray, nearest_map: jnp.ndarray, pos: jnp.ndarray, origin=None
+) -> jnp.ndarray:
     """GridWorldSim.snap_point (gridworld.py:212-219): unchanged when
     navigable, else the nearest navigable cell center at y=0."""
-    ci, cj = _cell_index(pos[0], pos[2])
+    ox, oz = _origin_xz(origin)
+    ci, cj = _cell_index(pos[0], pos[2], occupancy.shape[0], origin)
     ni = _grid_lookup(nearest_map[..., 0], ci, cj)
     nj = _grid_lookup(nearest_map[..., 1], ci, cj)
-    snapped = jnp.stack([(ni + 0.5) * _RES, jnp.zeros_like(ni), (nj + 0.5) * _RES])
-    return jnp.where(is_navigable(occupancy, pos), pos, snapped)
+    snapped = jnp.stack([ox + (ni + 0.5) * _RES, jnp.zeros_like(ni), oz + (nj + 0.5) * _RES])
+    return jnp.where(is_navigable(occupancy, pos, origin), pos, snapped)
 
 
 def step_filter_dynamic(
@@ -342,6 +401,7 @@ def step_filter_dynamic(
     end: jnp.ndarray,
     max_samples: int,
     allow_sliding: bool,
+    origin=None,
 ) -> jnp.ndarray:
     """step_filter for a traced (data-dependent) move length.
 
@@ -356,7 +416,7 @@ def step_filter_dynamic(
     n = jnp.maximum(2, (length / (0.25 * _RES)).astype(jnp.int32))
     i = jnp.arange(1, max_samples + 1, dtype=jnp.float32)
     ts = jnp.minimum(i / n.astype(jnp.float32), 1.0)
-    pos, reached = _advance(occupancy, start, delta, ts)
+    pos, reached = _advance(occupancy, start, delta, ts, origin)
     degenerate = length < 1e-9  # host returns `end` outright (gridworld.py:234)
 
     if allow_sliding:
@@ -365,8 +425,8 @@ def step_filter_dynamic(
             remaining = end - pos
             for axis in (0, 2):
                 shift = jnp.zeros(3).at[axis].set(remaining[axis])
-                target_ok = is_navigable(occupancy, pos + shift)
-                slid, _ = _advance(occupancy, pos, shift, ts)
+                target_ok = is_navigable(occupancy, pos + shift, origin)
+                slid, _ = _advance(occupancy, pos, shift, ts, origin)
                 pos = jnp.where(target_ok, slid, pos)
             return pos
 
@@ -386,6 +446,7 @@ def waypoint_step(
     rotate_agent: bool,
     max_samples: int,
     allow_sliding: bool,
+    origin=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """GO_TOWARD_POINT on device, single env (tasks/actions.py:113-150 /
     reference habitat_extensions/actions.py:26-56): polar target ->
@@ -393,10 +454,10 @@ def waypoint_step(
     re-check; optionally rotate the agent toward the target."""
     ang = heading + theta
     target = pos + r * jnp.stack([-jnp.sin(ang), jnp.zeros_like(ang), -jnp.cos(ang)])
-    moved = step_filter_dynamic(occupancy, pos, target, max_samples, allow_sliding)
-    nav = is_navigable(occupancy, moved)
-    snapped = snap_point(occupancy, nearest_map, moved)
-    snapped_ok = is_navigable(occupancy, snapped)
+    moved = step_filter_dynamic(occupancy, pos, target, max_samples, allow_sliding, origin)
+    nav = is_navigable(occupancy, moved, origin)
+    snapped = snap_point(occupancy, nearest_map, moved, origin)
+    snapped_ok = is_navigable(occupancy, snapped, origin)
     new_pos = jnp.where(nav & snapped_ok, snapped, pos)
     if rotate_agent:
         # compute_heading_to's (atan2(dx, dz) + pi) % 2pi convention
@@ -423,11 +484,12 @@ def waypoint_reward(
     success_reward: float,
     distance_scalar: float,
     success_distance: float,
+    origin=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """WaypointRewardMeasure on device, single env (tasks/measures.py:314-362
     / reference habitat_extensions/measures.py:153-233). Returns
     (reward, new_distance_to_goal, success)."""
-    d = geodesic_at(goal_field, pos_after)
+    d = geodesic_at(goal_field, pos_after, origin)
     moved = jnp.linalg.norm(prev_pos_xz - pos_after[jnp.array([0, 2])])
     if use_distance_scaled_slack_reward:
         slack_distance = jnp.where(stop, moved, r_pred) if scale_slack_on_prediction else moved
@@ -484,7 +546,8 @@ def _grid_lookup(grid: jnp.ndarray, ci: jnp.ndarray, cj: jnp.ndarray) -> jnp.nda
 
 
 def _raycast(
-    occupancy: jnp.ndarray, pos: jnp.ndarray, ray_angles: jnp.ndarray, max_t: float
+    occupancy: jnp.ndarray, pos: jnp.ndarray, ray_angles: jnp.ndarray, max_t: float,
+    origin=None,
 ):
     """Fixed-sample DDA over the occupancy grid. The host marches rays
     sequentially (gridworld.py:345-373); sampling every distance up front and
@@ -499,7 +562,7 @@ def _raycast(
     dz = -jnp.cos(ray_angles)
     px = pos[0] + dx[:, None] * dists[None, :]  # [W, K]
     pz = pos[2] + dz[:, None] * dists[None, :]
-    ci, cj = _cell_index(px, pz)
+    ci, cj = _cell_index(px, pz, occupancy.shape[0], origin)
     blocked = (_grid_lookup(occupancy, ci, cj) > 0.5) & valid[None, :]
     hit = jnp.any(blocked, axis=1)  # [W]
     first = jnp.argmax(blocked, axis=1)  # [W]
@@ -522,6 +585,7 @@ def render_camera_group(
     orientations: Tuple[float, ...],
     spec: CameraSpec,
     tilt: jnp.ndarray | float = 0.0,
+    origin=None,
 ) -> jnp.ndarray:
     """K same-spec cameras (e.g. a 12-pano rig) in ONE raycast; port of
     GridWorldSim._render_cameras/_shade (gridworld.py:375-428) in float32.
@@ -529,6 +593,7 @@ def render_camera_group(
     (one render program per camera kind, not per camera). Returns
     [K, H, W, C]."""
     h, w = spec.height, spec.width
+    world_size = scene_occ.shape[0] * _RES  # square world spanned by the grid
     K = len(orientations)
     half_fov = math.radians(spec.hfov_deg) / 2.0
     xs = jnp.tan(jnp.linspace(-half_fov, half_fov, w))
@@ -536,8 +601,8 @@ def render_camera_group(
     headings = (heading + jnp.asarray(orientations)) % (2.0 * math.pi)  # [K]
     ray_angles = (headings[:, None] + col_angles[None, :]).reshape(-1)  # [K*W]
 
-    max_t = float(spec.max_depth) if spec.kind == "depth" else 1.5 * _WORLD_SIZE
-    t, hit, hit_ci, hit_cj = _raycast(scene_occ, pos, ray_angles, max_t)
+    max_t = float(spec.max_depth) if spec.kind == "depth" else 1.5 * world_size
+    t, hit, hit_ci, hit_cj = _raycast(scene_occ, pos, ray_angles, max_t, origin)
     t = t.reshape(K, w)
     hit = hit.reshape(K, w)
 
@@ -571,7 +636,7 @@ def render_camera_group(
     colors = jnp.stack(
         [_grid_lookup(wall_colors[..., c], hit_ci, hit_cj) for c in range(3)], axis=-1
     ).reshape(K, w, 3)  # float32 holding exact uint8 values
-    shade = jnp.clip(1.0 - perp / _WORLD_SIZE, 0.25, 1.0)
+    shade = jnp.clip(1.0 - perp / world_size, 0.25, 1.0)
     wall_rgb = (colors * shade[..., None]).astype(jnp.uint8)
     img = jnp.where(
         (rows > horizon)[..., None],
@@ -591,11 +656,12 @@ def render_camera(
     heading: jnp.ndarray,
     spec: CameraSpec,
     tilt: jnp.ndarray | float = 0.0,
+    origin=None,
 ) -> jnp.ndarray:
     """One frame for one camera (single-orientation group)."""
     return render_camera_group(
         scene_occ, wall_colors, floor_color, ceil_color, pos, heading,
-        (spec.orientation_y,), spec, tilt=tilt,
+        (spec.orientation_y,), spec, tilt=tilt, origin=origin,
     )[0]
 
 
@@ -608,6 +674,7 @@ def render_arrays(
     heading: jnp.ndarray,
     specs: Sequence[CameraSpec],
     tilt: Optional[jnp.ndarray] = None,
+    origin: Optional[jnp.ndarray] = None,  # [B, 2] or None (all-zero)
 ) -> Dict[str, jnp.ndarray]:
     """All cameras for all envs: obs dict of [B, H, W, C] arrays.
 
@@ -618,22 +685,24 @@ def render_arrays(
     for spec in specs:
         key = spec._replace(uuid="", orientation_y=0.0)
         groups.setdefault(key, []).append(spec)
+    if origin is None:
+        origin = jnp.zeros((pos.shape[0], 2), jnp.float32)
     obs = {}
     for key, members in groups.items():
         orientations = tuple(m.orientation_y for m in members)
         if tilt is None:
-            fn = lambda o, wc, fc, cc, p, hd: render_camera_group(
-                o, wc, fc, cc, p, hd, orientations, members[0]
+            fn = lambda o, wc, fc, cc, p, hd, og: render_camera_group(
+                o, wc, fc, cc, p, hd, orientations, members[0], origin=og
             )
             frames = jax.vmap(fn)(
-                occupancy, wall_colors, floor_color, ceil_color, pos, heading
+                occupancy, wall_colors, floor_color, ceil_color, pos, heading, origin
             )  # [B, K, H, W, C]
         else:
-            fn = lambda o, wc, fc, cc, p, hd, tl: render_camera_group(
-                o, wc, fc, cc, p, hd, orientations, members[0], tilt=tl
+            fn = lambda o, wc, fc, cc, p, hd, tl, og: render_camera_group(
+                o, wc, fc, cc, p, hd, orientations, members[0], tilt=tl, origin=og
             )
             frames = jax.vmap(fn)(
-                occupancy, wall_colors, floor_color, ceil_color, pos, heading, tilt
+                occupancy, wall_colors, floor_color, ceil_color, pos, heading, tilt, origin
             )
         for k, m in enumerate(members):
             obs[m.uuid] = frames[:, k]
@@ -650,13 +719,14 @@ def render_batch(
     return render_arrays(
         scenes.occupancy, scenes.wall_colors, scenes.floor_color,
         scenes.ceil_color, pos, heading, specs, tilt=tilt,
+        origin=scenes.origin_xz,
     )
 
 
 def progress_batch(scenes: SceneBatch, pos: jnp.ndarray) -> jnp.ndarray:
     """VLNOracleProgressSensor on device: (d0 - d_t)/d0, 0 when unreachable
     (tasks/sensors.py:120-133)."""
-    d_t = jax.vmap(geodesic_at)(scenes.goal_field, pos)
+    d_t = jax.vmap(geodesic_at)(scenes.goal_field, pos, scenes.origin_xz)
     prog = (scenes.d0 - d_t) / scenes.d0
     return jnp.where(jnp.isfinite(d_t), prog, 0.0)[:, None].astype(jnp.float32)
 
@@ -670,7 +740,7 @@ def step_batch(
     turn_angle: float,
     allow_sliding: bool,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    fn = lambda occ, p, h, a: step_discrete(
-        occ, p, h, a, forward_step, turn_angle, allow_sliding
+    fn = lambda occ, p, h, a, og: step_discrete(
+        occ, p, h, a, forward_step, turn_angle, allow_sliding, og
     )
-    return jax.vmap(fn)(scenes.occupancy, pos, heading, actions)
+    return jax.vmap(fn)(scenes.occupancy, pos, heading, actions, scenes.origin_xz)

@@ -57,38 +57,52 @@ def _generate_occupancy(scene_id: str) -> np.ndarray:
     return occ
 
 
-class GridWorldScene:
-    """Immutable per-scene state: occupancy, colors, distance-field cache."""
+class BaseScene:
+    """Scene protocol shared by procedural GridWorld scenes and imported
+    real-scene geometry (envs/scene_import.py): an occupancy grid at _RES
+    meters per cell anchored at `origin` (world x, z of cell [0, 0]'s
+    corner), colors for the raycast renderer, and a goal-keyed Dijkstra
+    distance-field cache. All positions are WORLD coordinates — imported
+    MP3D scenes keep their native frame (origin != 0), procedural scenes
+    sit at origin (0, 0)."""
 
-    def __init__(self, scene_id: str):
-        self.scene_id = scene_id
-        self.occupancy = _generate_occupancy(scene_id)
-        rng = np.random.RandomState(_scene_seed(scene_id) ^ 0x5EED)
-        # per-cell wall colors for RGB rendering
-        self.wall_colors = rng.randint(40, 220, size=(_N, _N, 3)).astype(np.uint8)
-        self.floor_color = rng.randint(30, 90, size=(3,)).astype(np.uint8)
-        self.ceil_color = rng.randint(120, 200, size=(3,)).astype(np.uint8)
-        self._distance_fields: Dict[Tuple[int, int], np.ndarray] = {}
+    scene_id: str
+    occupancy: np.ndarray  # [N, N] bool, True = blocked
+    wall_colors: np.ndarray  # [N, N, 3] uint8
+    floor_color: np.ndarray  # [3] uint8
+    ceil_color: np.ndarray  # [3] uint8
+    origin: Tuple[float, float] = (0.0, 0.0)
+
+    @property
+    def n(self) -> int:
+        return int(self.occupancy.shape[0])
+
+    @property
+    def world_size(self) -> float:
+        return self.n * _RES
 
     # -- grid <-> world -----------------------------------------------------
-    @staticmethod
-    def world_to_cell(x: float, z: float) -> Tuple[int, int]:
+    def world_to_cell(self, x: float, z: float) -> Tuple[int, int]:
+        n = self.n
+        ox, oz = self.origin
         return (
-            int(np.clip(x / _RES, 0, _N - 1)),
-            int(np.clip(z / _RES, 0, _N - 1)),
+            int(np.clip((x - ox) / _RES, 0, n - 1)),
+            int(np.clip((z - oz) / _RES, 0, n - 1)),
         )
 
-    @staticmethod
-    def cell_to_world(i: int, j: int) -> Tuple[float, float]:
-        return ((i + 0.5) * _RES, (j + 0.5) * _RES)
+    def cell_to_world(self, i: int, j: int) -> Tuple[float, float]:
+        ox, oz = self.origin
+        return (ox + (i + 0.5) * _RES, oz + (j + 0.5) * _RES)
 
     def navigable_cell(self, i: int, j: int) -> bool:
-        return 0 <= i < _N and 0 <= j < _N and not self.occupancy[i, j]
+        n = self.n
+        return 0 <= i < n and 0 <= j < n and not self.occupancy[i, j]
 
     # -- geodesic distance field (Dijkstra, 8-connected) --------------------
     def distance_field(self, goal_cell: Tuple[int, int]) -> np.ndarray:
         if goal_cell in self._distance_fields:
             return self._distance_fields[goal_cell]
+        _N = self.n
         dist = np.full((_N, _N), np.inf)
         gi, gj = goal_cell
         if not self.navigable_cell(gi, gj):
@@ -121,10 +135,52 @@ class GridWorldScene:
         return int(free[k, 0]), int(free[k, 1])
 
 
-_SCENE_CACHE: Dict[str, GridWorldScene] = {}
+class GridWorldScene(BaseScene):
+    """Procedural scene: occupancy + colors generated from a hash of the
+    scene_id (origin fixed at (0, 0), 64x64 cells)."""
+
+    def __init__(self, scene_id: str):
+        self.scene_id = scene_id
+        self.occupancy = _generate_occupancy(scene_id)
+        self.origin = (0.0, 0.0)
+        rng = np.random.RandomState(_scene_seed(scene_id) ^ 0x5EED)
+        # per-cell wall colors for RGB rendering
+        self.wall_colors = rng.randint(40, 220, size=(_N, _N, 3)).astype(np.uint8)
+        self.floor_color = rng.randint(30, 90, size=(3,)).astype(np.uint8)
+        self.ceil_color = rng.randint(120, 200, size=(3,)).astype(np.uint8)
+        self._distance_fields: Dict[Tuple[int, int], np.ndarray] = {}
 
 
-def get_scene(scene_id: str) -> GridWorldScene:
+_SCENE_CACHE: Dict[str, BaseScene] = {}
+# imported real-scene geometry (envs/scene_import.py registers here); never
+# evicted — imports are explicit and bounded, unlike the procedural cache
+_REGISTERED_SCENES: Dict[str, BaseScene] = {}
+# providers consulted before procedural generation: scene_id -> Optional[Scene]
+_SCENE_PROVIDERS: List = []
+
+
+def register_scene(scene: BaseScene) -> None:
+    """Serve `scene` for its scene_id from get_scene (all host + device
+    paths resolve scenes through get_scene, so one registration puts
+    imported geometry on every pipeline)."""
+    _REGISTERED_SCENES[scene.scene_id] = scene
+
+
+def register_scene_provider(fn) -> None:
+    """Add a lazy scene source (scene_id -> Optional[BaseScene]); used by
+    scene_import.set_geometry_dir to serve exported real-scene geometry."""
+    if fn not in _SCENE_PROVIDERS:
+        _SCENE_PROVIDERS.append(fn)
+
+
+def get_scene(scene_id: str) -> BaseScene:
+    if scene_id in _REGISTERED_SCENES:
+        return _REGISTERED_SCENES[scene_id]
+    for provider in _SCENE_PROVIDERS:
+        scene = provider(scene_id)
+        if scene is not None:
+            _REGISTERED_SCENES[scene_id] = scene
+            return scene
     if scene_id not in _SCENE_CACHE:
         if len(_SCENE_CACHE) > 32:
             _SCENE_CACHE.clear()
@@ -136,6 +192,13 @@ def get_scene(scene_id: str) -> GridWorldScene:
 class GridWorldSim(Simulator):
     def __init__(self, config):
         self.config = config
+        if getattr(config, "GEOMETRY_DIR", "") or getattr(config, "CONNECTIVITY_GRAPHS", ""):
+            # install real-scene geometry sources in THIS process (forked
+            # VectorEnv workers construct their own sim, so each worker
+            # self-installs; envs/scene_import.py)
+            from vlnce_tpu.envs.scene_import import apply_scene_geometry
+
+            apply_scene_geometry(config)
         self._scene: Optional[GridWorldScene] = None
         self._position = np.array([1.5, 0.0, 1.5])
         self._heading = 0.0
@@ -350,6 +413,8 @@ class GridWorldSim(Simulator):
         dz = -np.cos(ray_angles)
         ox, oz = self._position[0], self._position[2]
         occ = self._scene.occupancy
+        grid_n = self._scene.n
+        org_x, org_z = self._scene.origin
         t = np.zeros(n)
         hit = np.zeros(n, dtype=bool)
         hit_cell = np.zeros((n, 2), dtype=np.int32)
@@ -361,8 +426,8 @@ class GridWorldSim(Simulator):
                 break
             px = ox + dx * cur
             pz = oz + dz * cur
-            ci = np.clip((px / _RES).astype(np.int32), 0, _N - 1)
-            cj = np.clip((pz / _RES).astype(np.int32), 0, _N - 1)
+            ci = np.clip(((px - org_x) / _RES).astype(np.int32), 0, grid_n - 1)
+            cj = np.clip(((pz - org_z) / _RES).astype(np.int32), 0, grid_n - 1)
             blocked = occ[ci, cj] & live
             newly = blocked & ~hit
             hit |= newly
@@ -382,7 +447,7 @@ class GridWorldSim(Simulator):
         headings = np.array([(self._heading + oy) % (2 * math.pi) for oy in orientations])
         ray_angles = (headings[:, None] + col_angles[None, :]).reshape(-1)  # [K*w]
 
-        max_t = float(self._max_depth) if kind == "depth" else 1.5 * _WORLD_SIZE
+        max_t = float(self._max_depth) if kind == "depth" else 1.5 * self._scene.world_size
         t_all, hit_all, cell_all = self._raycast(ray_angles, max_t)
         frames = []
         for k in range(K):
@@ -418,7 +483,7 @@ class GridWorldSim(Simulator):
                 depth = (depth - self._min_depth) / (self._max_depth - self._min_depth)
             return depth.astype(np.float32)[..., None]
         colors = self._scene.wall_colors[hit_cell[:, 0], hit_cell[:, 1]]  # [w, 3]
-        shade = np.clip(1.0 - perp / _WORLD_SIZE, 0.25, 1.0)
+        shade = np.clip(1.0 - perp / self._scene.world_size, 0.25, 1.0)
         wall_rgb = (colors.astype(np.float32) * shade[:, None]).astype(np.uint8)
         img = np.where(
             (rows > horizon)[..., None],

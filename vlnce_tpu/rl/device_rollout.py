@@ -28,6 +28,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vlnce_tpu.envs.scene_import import (
+    apply_scene_geometry as _apply_scene_geometry,
+)
 from vlnce_tpu.envs.device_sim import (
     CameraSpec,
     camera_specs_from_config,
@@ -37,6 +40,7 @@ from vlnce_tpu.envs.device_sim import (
     waypoint_reward,
     waypoint_step,
 )
+from vlnce_tpu.envs.device_sim import _pad_grid
 from vlnce_tpu.envs.gridworld import _RES, get_scene
 from vlnce_tpu.parallel.mesh import DATA_AXIS
 from vlnce_tpu.ops.obs_transforms import apply_obs_transforms_batch
@@ -52,6 +56,7 @@ class EpisodeQueue(NamedTuple):
 
     occupancy: jnp.ndarray  # [B, Q, N, N] bool
     wall_colors: jnp.ndarray  # [B, Q, N, N, 3] uint8
+    origin: jnp.ndarray  # [B, Q, 2] f32 world (x, z) of cell [0, 0]'s corner
     floor_color: jnp.ndarray  # [B, Q, 3] uint8
     ceil_color: jnp.ndarray  # [B, Q, 3] uint8
     goal_field: jnp.ndarray  # [B, Q, N, N] f32
@@ -78,6 +83,7 @@ def _episode_entry(ep) -> Dict[str, np.ndarray]:
     return {
         "occupancy": scene.occupancy,
         "wall_colors": scene.wall_colors,
+        "origin": np.asarray(scene.origin, np.float32),
         "floor_color": scene.floor_color,
         "ceil_color": scene.ceil_color,
         "goal_field": field.astype(np.float32),
@@ -91,11 +97,28 @@ def _episode_entry(ep) -> Dict[str, np.ndarray]:
     }
 
 
+_GRID_PAD_FILL = {"occupancy": True, "wall_colors": 0, "goal_field": np.inf}
+
+
 def build_episode_queue(episodes_by_slot: List[List]) -> EpisodeQueue:
     fields = EpisodeQueue._fields
+    entries_by_slot = [[_episode_entry(ep) for ep in slot_eps] for slot_eps in episodes_by_slot]
+    # mixed-size imported scenes pad to the queue-max grid (blocked / +inf,
+    # matching device_sim.build_scene_batch); `nearest` pads by edge-repeat
+    # so padded lookups still name an in-scene navigable cell
+    n = max(e["occupancy"].shape[0] for slot in entries_by_slot for e in slot)
+    for slot in entries_by_slot:
+        for e in slot:
+            m = e["occupancy"].shape[0]
+            if m == n:
+                continue
+            for f, fill in _GRID_PAD_FILL.items():
+                e[f] = _pad_grid(e[f], n, fill)
+            e["nearest"] = np.pad(
+                e["nearest"], [(0, n - m), (0, n - m), (0, 0)], mode="edge"
+            )
     stacked = {f: [] for f in fields}
-    for slot_eps in episodes_by_slot:
-        entries = [_episode_entry(ep) for ep in slot_eps]
+    for entries in entries_by_slot:
         for f in fields:
             stacked[f].append(np.stack([e[f] for e in entries]))
     # ONE device_put: per-field uploads pay a round trip each on remote chips
@@ -179,6 +202,7 @@ class DeviceRolloutCollector:
         self.T = int(config.RL.PPO.num_steps)
         self.Q = self.T + 1  # worst case: one done per rollout step
         self.max_ep_steps = int(task_cfg.ENVIRONMENT.MAX_EPISODE_STEPS)
+        _apply_scene_geometry(task_cfg.SIMULATOR)  # real-scene grids, if configured
         self.specs: List[CameraSpec] = camera_specs_from_config(task_cfg.SIMULATOR)
         self._rotate_agent = bool(task_cfg.TASK.ACTIONS.GO_TOWARD_POINT.rotate_agent)
         self._allow_sliding = bool(task_cfg.SIMULATOR.HABITAT_SIM_V0.ALLOW_SLIDING)
@@ -280,7 +304,7 @@ class DeviceRolloutCollector:
     def _assemble_obs(self, scene: EpisodeQueue, pos, heading, hist_rgb, hist_depth):
         obs = render_arrays(
             scene.occupancy, scene.wall_colors, scene.floor_color,
-            scene.ceil_color, pos, heading, self.specs,
+            scene.ceil_color, pos, heading, self.specs, origin=scene.origin,
         )
         obs["instruction"] = scene.instruction
         obs["angle_features"] = jnp.broadcast_to(
@@ -309,13 +333,17 @@ class DeviceRolloutCollector:
         use_gae, gamma, tau, normalize_adv = self._gae_bits
 
         def step_env(scene: EpisodeQueue, pos, heading, stop, r, theta):
-            def one(occ, nearest, p, h, s, rr, th):
+            def one(occ, nearest, p, h, s, rr, th, og):
                 wp, wh = waypoint_step(
-                    occ, nearest, p, h, rr, th, rotate_agent, max_samples, allow_sliding
+                    occ, nearest, p, h, rr, th, rotate_agent, max_samples,
+                    allow_sliding, og,
                 )
                 return jnp.where(s, p, wp), jnp.where(s, h, wh)
 
-            return jax.vmap(one)(scene.occupancy, scene.nearest, pos, heading, stop, r, theta)
+            return jax.vmap(one)(
+                scene.occupancy, scene.nearest, pos, heading, stop, r, theta,
+                scene.origin,
+            )
 
         def collect(params, bank: EpisodeQueue, slot_map, carry, rng):
             # assemble the per-slot episode queue on device: one gather per
@@ -340,8 +368,11 @@ class DeviceRolloutCollector:
 
                 new_pos, new_heading = step_env(scene, pos, heading, stop, r, theta)
                 reward, d_new, success = jax.vmap(
-                    lambda f, pd, pp, pa, rr, s: waypoint_reward(f, pd, pp, pa, rr, s, **rkw)
-                )(scene.goal_field, prev_d, pos[:, jnp.array([0, 2])], new_pos, r, stop)
+                    lambda f, pd, pp, pa, rr, s, og: waypoint_reward(
+                        f, pd, pp, pa, rr, s, origin=og, **rkw
+                    )
+                )(scene.goal_field, prev_d, pos[:, jnp.array([0, 2])], new_pos, r, stop,
+                  scene.origin)
 
                 done = stop | (step_in_ep + 1 >= max_ep_steps)
                 ep_reward2 = ep_reward + reward[:, None]

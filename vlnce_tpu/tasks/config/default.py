@@ -43,6 +43,11 @@ _C.SIMULATOR.TILT_ANGLE = 15  # degrees
 _C.SIMULATOR.DEFAULT_AGENT_ID = 0
 _C.SIMULATOR.SEED = 100
 _C.SIMULATOR.SCENE = ""
+# real-scene geometry for the occupancy-grid twin (envs/scene_import.py):
+# a directory of exported {scene_stem}.npz grids, and/or the reference's
+# data/connectivity_graphs.pkl to rasterize on first use
+_C.SIMULATOR.GEOMETRY_DIR = ""
+_C.SIMULATOR.CONNECTIVITY_GRAPHS = ""
 _C.SIMULATOR.HABITAT_SIM_V0 = CN()
 _C.SIMULATOR.HABITAT_SIM_V0.GPU_DEVICE_ID = 0
 _C.SIMULATOR.HABITAT_SIM_V0.ALLOW_SLIDING = True

@@ -53,8 +53,12 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from vlnce_tpu.parallel.mesh import DATA_AXIS
+from vlnce_tpu.envs.scene_import import (
+    apply_scene_geometry as _apply_scene_geometry,
+)
 from vlnce_tpu.envs.device_sim import (
     SceneBatch,
+    _pad_grid,
     build_scene_batch,
     camera_specs_from_config,
     expert_action,
@@ -92,7 +96,9 @@ def _policy_cache(policy) -> Dict[tuple, tuple]:
 
 def _expert_arrays(episodes) -> Tuple[np.ndarray, np.ndarray]:
     """Per-episode first-goal distance field + goal XZ — what the host
-    ShortestPathSensor steers by (it passes episode.goals[0].position)."""
+    ShortestPathSensor steers by (it passes episode.goals[0].position).
+    Fields pad to the batch-max grid (+inf, matching build_scene_batch's
+    blocked padding) so mixed-size imported scenes stack."""
     fields, goals = [], []
     for ep in episodes:
         scene = get_scene(ep.scene_id)
@@ -100,6 +106,8 @@ def _expert_arrays(episodes) -> Tuple[np.ndarray, np.ndarray]:
         gi, gj = scene.world_to_cell(float(g[0]), float(g[-1]))
         fields.append(scene.distance_field((gi, gj)).astype(np.float32))
         goals.append([float(g[0]), float(g[-1])])
+    n = max(f.shape[0] for f in fields)
+    fields = [_pad_grid(f, n, np.inf) for f in fields]
     return np.stack(fields), np.asarray(goals, np.float32)
 
 
@@ -122,6 +130,7 @@ def _chunk_rollouts(
     linearly with chips and the collected values are identical to the
     single-device run (sharding never changes JAX semantics)."""
     task_cfg = config.TASK_CONFIG
+    _apply_scene_geometry(task_cfg.SIMULATOR)  # real-scene grids, if configured
     specs = camera_specs_from_config(task_cfg.SIMULATOR)
     T_max = int(task_cfg.ENVIRONMENT.MAX_EPISODE_STEPS)
     B = max(1, int(config.NUM_ENVIRONMENTS))
@@ -147,18 +156,20 @@ def _chunk_rollouts(
     # the looked-up frozen features are also what the trajectory bank/store
     # records (the policy's precompute bypass consumes them directly)
     bank_dir = str(getattr(config.TPU, "FEATURE_BANK_DIR", "") or "")
+    bank_max_dist = float(getattr(config.TPU, "FEATURE_BANK_MAX_DIST", 0.0) or 0.0)
     bank_shapes = None
     if bank_dir:
-        from vlnce_tpu.data.feature_bank import load_bank_shapes
+        from vlnce_tpu.data.feature_bank import check_bank_coverage, load_bank_shapes
 
         bank_shapes = load_bank_shapes(bank_dir, episodes[0])
+        check_bank_coverage(bank_dir, episodes, bank_max_dist)
 
     cache_key = (
         tuple(specs), B, seg_len, T_max, store_f16,
         goal_radius, turn_angle, forward_step, allow_sliding,
         tuple(type(t).__name__ for t in transforms), instr_uuid,
         None if mesh is None else mesh.shape[DATA_AXIS],
-        bank_shapes,
+        bank_shapes, bank_max_dist,
     )
     feat_shapes: Dict[str, tuple] = {}  # filled at trace time
 
@@ -171,7 +182,8 @@ def _chunk_rollouts(
                 )
 
                 obs = lookup_features(
-                    FeatureBankBatch(*bank, *bank_shapes), pos, heading
+                    FeatureBankBatch(*bank, *bank_shapes), pos, heading,
+                    max_dist=bank_max_dist,
                 )
             else:
                 obs = render_batch(scenes, pos, heading, specs)
@@ -191,10 +203,10 @@ def _chunk_rollouts(
                     if k in batch
                 }
             expert = jax.vmap(
-                lambda o, f, g, p, h: expert_action(
-                    o, f, g, p, h, goal_radius, turn_angle
+                lambda o, f, g, p, h, og: expert_action(
+                    o, f, g, p, h, goal_radius, turn_angle, origin=og
                 )
-            )(scenes.occupancy, expert_field, goal_xz, pos, heading)
+            )(scenes.occupancy, expert_field, goal_xz, pos, heading, scenes.origin_xz)
             mix = jax.random.uniform(rng_mix, action.shape)
             mixed = jnp.where(mix < beta_, expert.reshape(action.shape), action)
             a = jnp.where(done, 0, mixed.reshape(-1).astype(jnp.int32))

@@ -22,6 +22,9 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from vlnce_tpu.parallel.mesh import DATA_AXIS
+from vlnce_tpu.envs.scene_import import (
+    apply_scene_geometry as _apply_scene_geometry,
+)
 from vlnce_tpu.envs.device_sim import (
     SceneBatch,
     build_scene_batch,
@@ -73,6 +76,7 @@ def render_gt_batch_resident(
     from vlnce_tpu.ops.obs_transforms import apply_obs_transforms_batch
 
     task_cfg = config.TASK_CONFIG
+    _apply_scene_geometry(task_cfg.SIMULATOR)  # real-scene grids, if configured
     specs = camera_specs_from_config(task_cfg.SIMULATOR)
     forward_step = float(task_cfg.SIMULATOR.FORWARD_STEP_SIZE)
     turn_angle = math.radians(float(task_cfg.SIMULATOR.TURN_ANGLE))
@@ -177,6 +181,7 @@ def render_gt_episodes_on_device(
     from vlnce_tpu.data.collate import inflection_weights
 
     task_cfg = config.TASK_CONFIG
+    _apply_scene_geometry(task_cfg.SIMULATOR)  # real-scene grids, if configured
     specs = camera_specs_from_config(task_cfg.SIMULATOR)
     forward_step = float(task_cfg.SIMULATOR.FORWARD_STEP_SIZE)
     turn_angle = math.radians(float(task_cfg.SIMULATOR.TURN_ANGLE))

@@ -30,6 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 import tqdm
 
+from vlnce_tpu.envs.scene_import import (
+    apply_scene_geometry as _apply_scene_geometry,
+)
 from vlnce_tpu.envs.device_sim import (
     SceneBatch,
     build_scene_batch,
@@ -96,7 +99,7 @@ def _episode_batch_arrays(
 def _build_segment_fn(
     policy, transforms, specs, sim_cfg, deterministic: bool, seg_len: int,
     instr_uuid: str = "instruction", use_tilt: bool = False,
-    batch_size: int = 0, bank_shapes=None,
+    batch_size: int = 0, bank_shapes=None, bank_max_dist: float = 0.0,
 ):
     """Jitted closed-loop segment: `seg_len` env steps as ONE dispatch.
     `use_tilt` enables the RxR LOOK_UP/DOWN axis; with it off the tilt carry
@@ -125,7 +128,8 @@ def _build_segment_fn(
                 )
 
                 obs = lookup_features(
-                    FeatureBankBatch(*bank, *bank_shapes), pos, heading
+                    FeatureBankBatch(*bank, *bank_shapes), pos, heading,
+                    max_dist=bank_max_dist,
                 )
             else:
                 obs = render_batch(
@@ -204,6 +208,7 @@ def run_scan_rollouts(
     """Run closed-loop rollouts for `episodes` on device; returns the action
     sequence (up to and including STOP, or the step cap) per episode."""
     task_cfg = config.TASK_CONFIG
+    _apply_scene_geometry(task_cfg.SIMULATOR)  # real-scene grids, if configured
     specs = camera_specs_from_config(task_cfg.SIMULATOR)
     T_max = int(task_cfg.ENVIRONMENT.MAX_EPISODE_STEPS)
     B = max(1, int(config.EVAL.SCAN_BATCH))
@@ -212,18 +217,20 @@ def run_scan_rollouts(
     instr_uuid = str(getattr(config.MODEL.INSTRUCTION_ENCODER, "sensor_uuid", "instruction"))
 
     bank_dir = str(getattr(config.TPU, "FEATURE_BANK_DIR", "") or "")
+    bank_max_dist = float(getattr(config.TPU, "FEATURE_BANK_MAX_DIST", 0.0) or 0.0)
     bank_shapes = None
     if bank_dir:
-        from vlnce_tpu.data.feature_bank import load_bank_shapes
+        from vlnce_tpu.data.feature_bank import check_bank_coverage, load_bank_shapes
 
         # metadata-only probe: no feature arrays loaded, nothing device_put
         bank_shapes = load_bank_shapes(bank_dir, episodes[0])
+        check_bank_coverage(bank_dir, episodes, bank_max_dist)
 
     segment_fn = _build_segment_fn(
         policy, transforms, specs, task_cfg.SIMULATOR, deterministic, seg_len,
         instr_uuid=instr_uuid,
         use_tilt="LOOK_UP" in list(task_cfg.TASK.POSSIBLE_ACTIONS),
-        batch_size=B, bank_shapes=bank_shapes,
+        batch_size=B, bank_shapes=bank_shapes, bank_max_dist=bank_max_dist,
     )
 
     all_actions: List[np.ndarray] = []
