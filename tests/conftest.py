@@ -24,6 +24,24 @@ if "xla_force_host_platform_device_count" not in flags:
 # (prefer-no-scatter/gather hints) on every cache hit; silence C++ logging
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
+# Build the native shm transport lib before collection (the shm tests use a
+# module-level skipif evaluated at import), so they run wherever a C++
+# toolchain exists instead of silently skipping. Cached: make is a no-op when
+# libobsring.so is newer than obs_ring.cpp.
+import shutil  # noqa: E402
+import subprocess  # noqa: E402
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "vlnce_tpu", "native")
+if shutil.which("g++") and os.path.isdir(_NATIVE_DIR):
+    try:
+        subprocess.run(
+            ["make", "-s"], cwd=_NATIVE_DIR, check=True, capture_output=True, timeout=120
+        )
+    except (subprocess.SubprocessError, OSError) as exc:  # pragma: no cover
+        import warnings
+
+        warnings.warn(f"native libobsring.so build failed ({exc}); shm tests will skip")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -303,6 +303,65 @@ def test_ppo_update_sharded_equals_single_device():
     _updates_match(params_ref, p1, p2, g1, lr=cfg.RL.PPO.lr, atol=1e-4)
 
 
+def test_masked_adam_matches_plain_adam_and_skips_frozen_state():
+    """parallel/optim.masked_adam: the production optimizer updates trainable
+    leaves exactly like plain Adam, keeps frozen leaves bit-identical, marks
+    the right subtrees (stop_gradient'd ResNets + frozen embedding,
+    reference torch-Adam-skips-None-grads semantics), and allocates NO
+    moment buffers for them."""
+    import optax
+
+    from vlnce_tpu.parallel.il_step import _make_loss_and_grads
+    from vlnce_tpu.parallel.optim import masked_adam, trainable_mask
+
+    policy = _cma_policy()
+    cfg_model = policy.config.MODEL
+    mask = trainable_mask(policy.params, cfg_model)
+
+    # structure: frozen = GN resnet ("visual_encoder"), TV resnet ("cnn");
+    # trainable = the wrappers' heads and everything else
+    net_mask = mask["net"]
+    assert not any(jax.tree_util.tree_leaves(net_mask["depth_encoder"]["visual_encoder"]))
+    assert not any(jax.tree_util.tree_leaves(net_mask["rgb_encoder"]["cnn"]))
+    # the wrappers' own params (spatial embeddings in CMA's spatial mode)
+    # stay trainable, as do all policy heads
+    assert all(jax.tree_util.tree_leaves(net_mask["depth_encoder"]["spatial_embeddings"]))
+    assert all(jax.tree_util.tree_leaves(net_mask["rgb_encoder"]["spatial_embeddings"]))
+    assert all(jax.tree_util.tree_leaves(net_mask["state_encoder"]))
+    # fresh (non-pretrained) embedding table trains (reference
+    # instruction_encoder.py:35-45); _cma_policy sets use_pretrained=False
+    assert all(jax.tree_util.tree_leaves(net_mask["instruction_encoder"]["embedding"]))
+    assert all(jax.tree_util.tree_leaves(mask["action_distribution"]))
+
+    # real gradients: stop_gradient makes frozen-leaf grads EXACT zeros
+    grads_fn = jax.jit(_make_loss_and_grads(
+        policy.module, policy.num_recurrent_layers, policy.hidden_size, mesh=None
+    ))
+    grads, _, _, _ = grads_fn(policy.params, *_il_batch())
+    frozen_g = jax.tree_util.tree_leaves(grads["net"]["depth_encoder"]["visual_encoder"])
+    frozen_g += jax.tree_util.tree_leaves(grads["net"]["rgb_encoder"]["cnn"])
+    assert all(float(jnp.max(jnp.abs(g))) == 0.0 for g in frozen_g)
+
+    # one step: masked == plain (zero grads make unmasked Adam a no-op too)
+    masked = masked_adam(LR, policy.params, cfg_model)
+    plain = optax.adam(LR)
+    mu, ms = masked.update(grads, masked.init(policy.params), policy.params)
+    pu, ps = plain.update(grads, plain.init(policy.params), policy.params)
+    p_masked = optax.apply_updates(policy.params, mu)
+    p_plain = optax.apply_updates(policy.params, pu)
+    for a, b in zip(jax.tree_util.tree_leaves(p_masked), jax.tree_util.tree_leaves(p_plain)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # frozen leaves hold MaskedNode (no moment buffers), trainable hold moments
+    inner = ms.inner_state[0]  # ScaleByAdamState
+    frozen_mu = jax.tree_util.tree_leaves(
+        inner.mu["net"]["depth_encoder"]["visual_encoder"],
+        is_leaf=lambda x: isinstance(x, optax.MaskedNode),
+    )
+    assert frozen_mu and all(isinstance(x, optax.MaskedNode) for x in frozen_mu)
+    assert isinstance(inner.mu["net"]["depth_encoder"]["spatial_embeddings"], jax.Array)
+
+
 def test_resolve_training_mesh_fails_loudly():
     cfg = get_config(opts=["TPU.MESH.DATA", 999])
     with pytest.raises(RuntimeError, match="requires 999 devices|requires"):

@@ -382,3 +382,99 @@ def test_scan_eval_on_imported_scene(tmp_path):
         # the replay actually moved through imported geometry: distance to
         # goal is a real geodesic in the native frame, not inf/zero padding
         assert ep_stats["distance_to_goal"] < 64.0
+
+
+@pytest.mark.slow  # two full eval passes + bank generation
+def test_eval_parity_asset_day_dryrun(tmp_path, monkeypatch):
+    """One-command asset-day readiness (VERDICT r3 #9): scripts/eval_parity.py
+    --resident drives the WHOLE first-session-with-assets flow on synthetic
+    fixtures — geometry export from a connectivity pkl, feature-bank
+    generation over the imported scene, host-loop eval, resident scan-eval,
+    and the host-vs-resident comparison — exiting 0 with both stats files
+    written. On asset day the same command runs with the real
+    connectivity_graphs.pkl / MP3D config and tight tolerances."""
+    import pickle
+
+    from vlnce_tpu.tasks.datasets import make_dataset
+
+    tmp = str(tmp_path)
+    yaml = "vlnce_tpu/config/experiments/synthetic/smoke_seq2seq.yaml"
+    opts = [
+        "TASK_CONFIG.DATASET.NUM_EPISODES", "2",
+        "TASK_CONFIG.DATASET.NUM_SCENES", "1",
+        "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", "6",
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT", str(IMG),
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH", str(IMG),
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT", str(IMG),
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH", str(IMG),
+        "NUM_ENVIRONMENTS", "2",
+        "EVAL.SCAN_BATCH", "2",
+        "EVAL.SCAN_SEGMENT", "4",
+        "IL.DAGGER.lmdb_features_dir", f"{tmp}/traj",
+        "RESULTS_DIR", f"{tmp}/evals",
+        "CHECKPOINT_FOLDER", f"{tmp}/ckpts",
+        "EVAL_CKPT_PATH_DIR", f"{tmp}/ckpts",
+    ]
+
+    # connectivity pkl covering the synthetic split's scene stems (the shape
+    # of the reference's data/connectivity_graphs.pkl, measures.py:336-337)
+    cfg = get_config(yaml, opts)
+    dataset = make_dataset(cfg.TASK_CONFIG.DATASET.TYPE, cfg.TASK_CONFIG.DATASET)
+    eval_split = cfg.TASK_CONFIG.DATASET.clone()
+    eval_split.defrost()
+    eval_split.SPLIT = "val_unseen"
+    eval_split.freeze()
+    eval_ds = make_dataset(cfg.TASK_CONFIG.DATASET.TYPE, eval_split)
+    stems = {
+        os.path.splitext(os.path.basename(ep.scene_id))[0]
+        for ep in (list(dataset.episodes) + list(eval_ds.episodes))
+    }
+    graphs = {stem: synthetic_lattice_graph(world_size=16.0, spacing=2.0) for stem in stems}
+    pkl_path = f"{tmp}/connectivity_graphs.pkl"
+    with open(pkl_path, "wb") as f:
+        pickle.dump(graphs, f)
+
+    # an (untrained) checkpoint for both eval passes
+    trainer = registry.get_trainer("dagger")(cfg)
+    obs_space, act_space = trainer._get_spaces(cfg)
+    trainer._initialize_policy(
+        cfg, load_from_ckpt=False,
+        observation_space=obs_space, action_space=act_space,
+    )
+    os.makedirs(f"{tmp}/ckpts", exist_ok=True)
+    trainer.save_checkpoint("ckpt.0.ckpt")
+    from vlnce_tpu.utils.checkpoints import wait_for_pending
+
+    wait_for_pending()
+    ckpt = f"{tmp}/ckpts/ckpt.0.ckpt"
+    assert os.path.exists(ckpt)
+
+    from scripts.eval_parity import main as parity_main
+
+    monkeypatch.setattr("sys.argv", [
+        "eval_parity.py",
+        "--exp-config", yaml,
+        "--checkpoint", ckpt,
+        "--split", "val_unseen",
+        "--resident",
+        "--geometry-dir", f"{tmp}/geom",
+        "--connectivity", pkl_path,
+        "--bank-dir", f"{tmp}/bank",
+        "--bank-headings", "4",
+        # untrained policy: the dryrun proves the PIPELINE, not model quality
+        "--resident-tolerance", "2.0",
+    ] + opts)
+    rc = parity_main()
+    assert rc == 0, "eval_parity --resident exited nonzero"
+
+    assert os.path.exists(f"{tmp}/geom") and any(
+        f.endswith(".npz") for f in os.listdir(f"{tmp}/geom")
+    ), "geometry export did not run"
+    assert any(f.endswith(".npz") for f in os.listdir(f"{tmp}/bank")), (
+        "feature-bank generation did not run"
+    )
+    host_stats = [f for f in os.listdir(f"{tmp}/evals") if f.endswith(".json")]
+    resident_stats = [
+        f for f in os.listdir(f"{tmp}/evals/resident") if f.endswith(".json")
+    ]
+    assert host_stats and resident_stats, (host_stats, resident_stats)

@@ -343,28 +343,28 @@ def test_recollect_trainer_end_to_end(tmp_path):
     assert os.path.exists(f"{tmp}/ckpts/ckpt.0.ckpt")
 
 
-def test_recollect_device_episodes_rank_split(tmp_path, monkeypatch):
-    """Under multi-process JAX each rank re-renders a strided, disjoint
-    episode shard (recollection.py initialize_device) — the two fake ranks'
-    lists must partition the single-process list."""
+def test_recollect_device_episodes_rank_split(tmp_path):
+    """The recollect device-episode shard is rank_slice of the full list:
+    strided, disjoint, wrap-padded to equal counts. Stride semantics are
+    checked here directly against rank_slice's explicit (rank, nproc) args
+    (no monkeypatched jax globals); the REAL 2-process execution of this
+    split is tests/test_multiprocess_train.py::
+    test_two_process_resident_recollect_rank_sharded."""
     from vlnce_tpu.data.recollection import TeacherRecollectionDataset
+    from vlnce_tpu.parallel.distributed import rank_slice
 
     cfg = _recollect_cfg(str(tmp_path), ["TPU.ON_DEVICE_RECOLLECT", True])
     full = TeacherRecollectionDataset(cfg)
     all_ids = [ep.episode_id for ep in full._device_episodes]
     assert len(all_ids) == 4
 
-    shards = {}
-    for rank in (0, 1):
-        monkeypatch.setattr(jax, "process_count", lambda: 2)
-        monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
-        ds = TeacherRecollectionDataset(cfg)
-        shards[rank] = [ep.episode_id for ep in ds._device_episodes]
-        assert ds.length == 2
-    monkeypatch.undo()
+    shards = {r: rank_slice(all_ids, rank=r, nproc=2) for r in (0, 1)}
     assert shards[0] == all_ids[0::2]
     assert shards[1] == all_ids[1::2]
     assert not (set(shards[0]) & set(shards[1]))
+    # wrap-padding keeps per-rank counts equal on uneven splits
+    uneven = rank_slice(all_ids[:3], rank=1, nproc=2)
+    assert len(uneven) == len(rank_slice(all_ids[:3], rank=0, nproc=2)) == 2
 
 
 def test_recollect_on_device_matches_host_episodes(tmp_path):

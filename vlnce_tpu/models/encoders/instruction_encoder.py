@@ -20,14 +20,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vlnce_tpu.models.rnn_state_encoder import GRUCellParams, LSTMCellParams
-
-# The recurrent matmuls are MXU-tiny ([B, H] @ [H, 4H]); each scan iteration
-# is while-loop latency, not compute. Unrolling packs 8 steps per loop
-# iteration — measured on-chip it trims the instruction biLSTM's share of
-# both the act step and the IL train step (PERFORMANCE.md). Semantics are
-# unchanged (lax.scan handles T % unroll != 0).
-_SCAN_UNROLL = 8
+from vlnce_tpu.models.rnn_state_encoder import (
+    _SCAN_UNROLL,
+    GRUCellParams,
+    LSTMCellParams,
+)
 
 
 class _DirectionalRNN(nn.Module):
@@ -113,7 +110,10 @@ class InstructionEncoder(nn.Module):
             embedding = self.param(
                 "embedding", nn.initializers.normal(1.0), (self.vocab_size, self.embedding_size)
             )
-            if not self.fine_tune_embeddings:
+            # reference semantics (instruction_encoder.py:35-45): ONLY a
+            # pretrained table is frozen (unless fine-tuned); a fresh
+            # Gaussian-initialized table always trains
+            if self.use_pretrained_embeddings and not self.fine_tune_embeddings:
                 embedding = jax.lax.stop_gradient(embedding)
             x = embedding[tokens]  # [B, T, E]
             input_size = self.embedding_size

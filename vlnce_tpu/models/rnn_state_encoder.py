@@ -31,8 +31,11 @@ import jax
 import jax.numpy as jnp
 
 # Recurrent steps are MXU-tiny; the sequence scan's cost is while-loop
-# latency per iteration. 8 steps per loop iteration measured faster on the
-# chip with unchanged semantics (see instruction_encoder._SCAN_UNROLL).
+# latency per iteration. Packing 8 steps per loop iteration leaves semantics
+# unchanged (lax.scan handles T % unroll != 0) and trims the act step ~6%
+# with the train step unchanged — the on-chip unroll-1/4/8 A/B is recorded
+# in PERFORMANCE.md ("Scan unroll A/B"). Single definition — the
+# instruction encoder imports this constant.
 _SCAN_UNROLL = 8
 
 

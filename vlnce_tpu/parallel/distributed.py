@@ -86,3 +86,91 @@ def rank_slice(items, rank=None, nproc=None) -> list:
         rank = jax.process_index()
     per = -(-len(items) // nproc)
     return [items[(rank + i * nproc) % len(items)] for i in range(per)]
+
+
+# ------------------------------------------------------- dispatch alignment
+# Monotonic barrier-id counter: coordination-service barrier ids are
+# single-use, and SPMD ranks reach sync points in identical order, so a
+# per-process counter yields matching ids on every rank. A sequence mismatch
+# (a real SPMD divergence bug) surfaces as a barrier timeout naming both
+# sides' tags rather than a silent wrong pairing.
+_BARRIER_SEQ = 0
+
+
+def sync_ranks(tag: str, timeout_s: float = 600.0) -> None:
+    """Align all processes at a named barrier via the JAX coordination
+    service (pure gRPC — involves no device collective, so it cannot itself
+    hit the deadline it exists to protect).
+
+    Why this exists: XLA:CPU's cross-process (Gloo) collectives give every
+    new communicator context ~30 s from the FIRST rank reaching it for the
+    other ranks to arrive at the matching execution. A collective program's
+    first dispatch follows its per-rank jit compile, and compile wall time
+    can skew ranks by minutes on busy hosts — so the first collective of a
+    freshly-compiled program can time out spuriously. Production steps
+    therefore compile FIRST, barrier HERE, then dispatch (see
+    align_collective_step). On TPU pods the same call bounds startup skew
+    across hosts for free. Single-process: no-op.
+
+    Reference analog: the implicit rank sync of torch.distributed's first
+    DDP bucket allreduce (reference ddppo_waypoint_trainer.py:310-370)."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    global _BARRIER_SEQ
+    _BARRIER_SEQ += 1
+    from jax._src import distributed as _distributed
+
+    client = _distributed.global_state.client
+    assert client is not None, "multi-process JAX without a coordination client"
+    client.wait_at_barrier(f"vlnce:{_BARRIER_SEQ}:{tag}", int(timeout_s * 1000))
+
+
+class _AlignedStep:
+    """Wraps a jitted collective step so each new shape signature is
+    AOT-compiled on every rank and then barrier-aligned (sync_ranks) BEFORE
+    its first dispatch — collapsing compile-time skew to gRPC latency so the
+    Gloo/ICI communicator handshake at execution start always sees all ranks
+    within its deadline. Subsequent calls hit the compiled executable
+    directly. Donation and shardings are preserved (jit's lower/compile)."""
+
+    def __init__(self, jitted, tag: str):
+        self._fn = jitted
+        self._tag = tag
+        self._compiled = {}
+
+    @staticmethod
+    def _signature(args):
+        import jax
+
+        def leaf_sig(x):
+            if hasattr(x, "shape"):
+                return (tuple(x.shape), str(getattr(x, "dtype", "?")))
+            if isinstance(x, (bool, int, float, complex)):
+                # jit avals: python scalars trace by weak dtype, not value
+                return ("py", type(x).__name__)
+            return repr(x)
+
+        return tuple(leaf_sig(x) for x in jax.tree_util.tree_leaves(args))
+
+    def __call__(self, *args):
+        key = self._signature(args)
+        compiled = self._compiled.get(key)
+        if compiled is None:
+            compiled = self._fn.lower(*args).compile()
+            self._compiled[key] = compiled
+            sync_ranks(f"{self._tag}/{len(self._compiled)}")
+        return compiled(*args)
+
+
+def align_collective_step(jitted, tag: str):
+    """Production wrapper for jitted steps whose execution opens a
+    cross-PROCESS collective channel. Multi-process: returns an _AlignedStep
+    (compile -> barrier -> dispatch). Single-process: returns the jitted
+    function unchanged — zero overhead and identical single-chip behavior."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return jitted
+    return _AlignedStep(jitted, tag)

@@ -132,7 +132,11 @@ def build_il_train_step(module, optimizer, num_layers: int, hidden: int,
         params = optax.apply_updates(params, updates)
         return params, optim_state, loss, action_loss, aux_loss
 
-    return jax.jit(train_step, donate_argnums=(0, 1))
+    from vlnce_tpu.parallel.distributed import align_collective_step
+
+    return align_collective_step(
+        jax.jit(train_step, donate_argnums=(0, 1)), "il_train_step"
+    )
 
 
 def build_il_accum_step(module, optimizer, num_layers: int, hidden: int,
@@ -155,7 +159,11 @@ def build_il_accum_step(module, optimizer, num_layers: int, hidden: int,
             grads = jax.tree_util.tree_map(jnp.zeros_like, grads)
         return params, optim_state, grads, loss, action_loss, aux_loss
 
-    return jax.jit(accum_step, donate_argnums=(0, 1, 2))
+    from vlnce_tpu.parallel.distributed import align_collective_step
+
+    return align_collective_step(
+        jax.jit(accum_step, donate_argnums=(0, 1, 2)), "il_accum_step"
+    )
 
 
 def globalize_batch(mesh: Mesh, obs_tn: Dict[str, jnp.ndarray], prev_tn,
@@ -208,11 +216,19 @@ def global_max_time(mesh: Mesh, t_local: int) -> int:
     # mesh — a fresh jax.jit wrapper per call would re-trace every batch
     key = id(mesh)
     if key not in _MAX_REDUCE_CACHE or _MAX_REDUCE_CACHE[key][0] is not mesh:
+        from vlnce_tpu.parallel.distributed import align_collective_step
+
         _MAX_REDUCE_CACHE.clear()  # one live training mesh at a time
         _MAX_REDUCE_CACHE[key] = (
             mesh,
             NamedSharding(mesh, P(DATA_AXIS)),
-            jax.jit(jnp.max, out_shardings=NamedSharding(mesh, P())),
+            # first collective a training batch dispatches — align it, since
+            # the per-rank compiles preceding it (render/transform programs)
+            # can skew ranks past the communicator handshake deadline
+            align_collective_step(
+                jax.jit(jnp.max, out_shardings=NamedSharding(mesh, P())),
+                "global_max_time",
+            ),
         )
     _, in_sharding, max_fn = _MAX_REDUCE_CACHE[key]
     d = mesh.shape[DATA_AXIS]

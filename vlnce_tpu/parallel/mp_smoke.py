@@ -117,8 +117,15 @@ def worker_main() -> None:
     from vlnce_tpu.parallel.distributed import init_distributed
 
     assert init_distributed(), "expected multi-process init from env"
-    if os.environ.get("MP_SMOKE_MODE") == "resident_dagger":
+    mode = os.environ.get("MP_SMOKE_MODE")
+    if mode == "resident_dagger":
         _worker_resident_dagger()
+        return
+    if mode == "ppo":
+        _worker_ppo()
+        return
+    if mode == "resident_recollect":
+        _worker_resident_recollect()
         return
     nproc = jax.process_count()
     assert N_GLOBAL % nproc == 0
@@ -126,6 +133,293 @@ def worker_main() -> None:
     pid = jax.process_index()
     loss, action_loss, aux_loss = run_update(pid * per, (pid + 1) * per)
     print(f"MP_LOSS {pid} {loss!r} {action_loss!r} {aux_loss!r}", flush=True)
+
+
+# ----------------------------------------------------------------- PPO mode
+# deterministic waypoint rollout batch: same shape family as
+# tests/test_multichip_parity's PPO parity test, env axis split over ranks
+PPO_T = 2
+PPO_N_GLOBAL = 6
+PPO_PANOS = 12
+PPO_IMG = 8
+
+
+def _ppo_agent(mesh):
+    """WaypointPolicy + WDDPPO at tiny shapes; ppo_epoch=1 x num_mini_batch=1
+    so the multi-process update (each rank minibatching its OWN rollouts,
+    stitched by _globalize_sample) composes the SAME global full-batch update
+    as the single-process run — the only composition where cross-topology
+    equality is well-defined."""
+    from gymnasium import spaces
+
+    from vlnce_tpu.config import get_config
+    from vlnce_tpu.models.waypoint_policy import WaypointPolicy
+    from vlnce_tpu.rl.ppo import WDDPPO
+
+    space = spaces.Dict({
+        "rgb": spaces.Box(0, 255, (PPO_PANOS, PPO_IMG, PPO_IMG, 3), np.uint8),
+        "depth": spaces.Box(0, 1, (PPO_PANOS, PPO_IMG, PPO_IMG, 1), np.float32),
+        "rgb_history": spaces.Box(0, 255, (PPO_IMG, PPO_IMG, 3), np.uint8),
+        "depth_history": spaces.Box(0, 1, (PPO_IMG, PPO_IMG, 1), np.float32),
+        "instruction": spaces.Box(0, 10000, (16,), np.int32),
+        "angle_features": spaces.Box(-1, 1, (PPO_PANOS, 4), np.float32),
+    })
+    cfg = get_config(opts=[
+        "MODEL.policy_name", "WaypointPolicy",
+        "MODEL.DEPTH_ENCODER.backbone", "resnet18",
+        "MODEL.RGB_ENCODER.cnn_type", "TorchVisionResNet18",
+        "MODEL.RGB_ENCODER.output_size", 64,
+        "MODEL.STATE_ENCODER.hidden_size", 64,
+        "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", False,
+        "MODEL.INSTRUCTION_ENCODER.final_state_only", False,
+        "MODEL.INSTRUCTION_ENCODER.bidirectional", True,
+        "MODEL.INSTRUCTION_ENCODER.vocab_size", 32,
+        "RL.PPO.ppo_epoch", 1,
+        "RL.PPO.num_mini_batch", 1,
+    ])
+    import jax
+
+    policy = WaypointPolicy.from_config(cfg, space)
+    policy.init_params(jax.random.PRNGKey(0), batch_size=1)
+    return WDDPPO(policy, cfg.RL.PPO, mesh=mesh, offset_regularize_coef=0.1146)
+
+
+def _ppo_global_batch(agent):
+    """The full deterministic device-resident rollout batch [PPO_T,
+    PPO_N_GLOBAL] in the update_device layout (identical in every process)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(11)
+    T, N, P_, img = PPO_T, PPO_N_GLOBAL, PPO_PANOS, PPO_IMG
+    obs = {
+        "rgb": jnp.asarray(rng.randint(0, 255, (T, N, P_, img, img, 3), dtype=np.uint8)),
+        "depth": jnp.asarray(rng.rand(T, N, P_, img, img, 1).astype(np.float32)),
+        "rgb_history": jnp.asarray(rng.randint(0, 255, (T, N, img, img, 3), dtype=np.uint8)),
+        "depth_history": jnp.asarray(rng.rand(T, N, img, img, 1).astype(np.float32)),
+        "instruction": jnp.asarray(rng.randint(1, 30, (T, N, 16), dtype=np.int32)),
+        "angle_features": jnp.asarray(rng.rand(T, N, P_, 4).astype(np.float32)),
+    }
+    f = lambda lo, hi: jnp.asarray(rng.uniform(lo, hi, (T, N, 1)).astype(np.float32))
+    return {
+        "obs": obs,
+        "hidden0": jnp.zeros(
+            (N, agent.policy.num_recurrent_layers, agent.policy.hidden_size), jnp.float32
+        ),
+        "actions": {
+            "pano": jnp.asarray(rng.randint(0, P_, (T, N, 1)).astype(np.float32)),
+            "offset": f(-0.1, 0.1),
+            "distance": f(0.3, 1.5),
+        },
+        "prev_actions": {
+            "pano": jnp.zeros((T, N, 1), jnp.float32),
+            "offset": jnp.zeros((T, N, 1), jnp.float32),
+            "distance": jnp.zeros((T, N, 1), jnp.float32),
+        },
+        "value_preds": f(-0.5, 0.5),
+        "returns": f(0.0, 1.5),
+        "masks": jnp.ones((T, N, 1), jnp.float32),
+        "old_log_probs": f(-4.0, -2.0),
+        "advantages": f(-0.5, 0.8),
+    }
+
+
+def run_ppo_update(env_lo: int, env_hi: int, grads_out: Optional[str] = None):
+    """PPO cross-topology probe on the env slice [env_lo, env_hi): compute
+    globally-reduced minibatch GRADIENTS through the production chain
+    (_pad_sample -> _globalize_sample -> sharded _grads_and_stats), then run
+    the production update_device. Returns the stats dict; when grads_out is
+    given the (replicated) gradient leaves are saved there as npz — the
+    machine-independent cross-topology comparison medium (VERDICT r3 #3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlnce_tpu.parallel.mesh import make_mesh
+
+    agent = _ppo_agent(make_mesh())
+    batch = _ppo_global_batch(agent)
+    sl = slice(env_lo, env_hi)
+    n = env_hi - env_lo
+    local = {
+        k: ({kk: vv[:, sl] for kk, vv in v.items()} if isinstance(v, dict)
+            else (v[sl] if k == "hidden0" else v[:, sl]))
+        for k, v in batch.items()
+    }
+
+    dev_sample = (
+        local["obs"], local["hidden0"], local["actions"], local["prev_actions"],
+        local["value_preds"], local["returns"], local["masks"],
+        local["old_log_probs"], local["advantages"],
+    )
+    dev_sample, valid = agent._pad_sample(dev_sample, n)
+    dev_sample, valid = agent._globalize_sample(dev_sample, valid)
+    grads, _ = agent._build_grads(PPO_T)(
+        agent.policy.params, dev_sample, valid, jnp.float32(0.2)
+    )
+    if grads_out:
+        # grads come out of the shard_map replicated (out_specs P()), so the
+        # first addressable shard IS the full value. np.asarray on a global
+        # multi-process array would instead start a cross-process Gloo fetch
+        # that the other rank (grads_out=None) never joins -> deadlock.
+        def _host(x):
+            if hasattr(x, "addressable_shards"):
+                return np.asarray(x.addressable_shards[0].data)
+            return np.asarray(x)
+
+        leaves = [_host(x) for x in jax.tree_util.tree_leaves(grads)]
+        np.savez(grads_out, *leaves)
+
+    stats = agent.update_device(local, np.random.RandomState(3))
+    return stats
+
+
+def _worker_ppo() -> None:
+    import json
+
+    import jax
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    assert PPO_N_GLOBAL % nproc == 0
+    per = PPO_N_GLOBAL // nproc
+    out_dir = os.environ.get("MP_SMOKE_OUT")
+    # BOTH ranks save (and therefore block on) the grads readback: the
+    # psum'd grads execution is a paired cross-process collective, so a rank
+    # that skipped the readback would run ahead into update_device's
+    # minutes-long compile and starve the other rank's Gloo handshake past
+    # its 30s deadline. Symmetric readback keeps the ranks in lockstep.
+    grads_out = (
+        os.path.join(out_dir, f"ppo_grads_mp_rank{pid}.npz") if out_dir else None
+    )
+    stats = run_ppo_update(pid * per, (pid + 1) * per, grads_out=grads_out)
+    print(f"MP_PPO {pid} {json.dumps(stats)}", flush=True)
+
+
+def launch_two_process_ppo(
+    out_dir: str, local_devices: int = 4, timeout: float = 600.0,
+    repo_root: Optional[str] = None,
+) -> Tuple[List[dict], List[str]]:
+    """Spawn 2 ranks, run the per-rank-rollouts -> _globalize_sample ->
+    sharded WDDPPO update, and return (per-rank stats dicts, per-rank paths
+    to the saved global-gradient npz files — replicated, so they must agree
+    across ranks)."""
+    import json
+
+    outs = _launch_ranks(
+        local_devices, timeout, repo_root,
+        extra_env={"MP_SMOKE_MODE": "ppo", "MP_SMOKE_OUT": out_dir},
+    )
+    results: List[dict] = [None, None]  # type: ignore
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MP_PPO"):
+                _, rank, payload = line.split(" ", 2)
+                results[int(rank)] = json.loads(payload)
+    assert all(r is not None for r in results), f"missing MP_PPO lines:\n{outs}"
+    return results, [
+        os.path.join(out_dir, f"ppo_grads_mp_rank{pid}.npz") for pid in range(2)
+    ]
+
+
+# ---------------------------------------------------------- recollect mode
+def tiny_resident_recollect_config(tmp: str, n_envs: int, n_episodes: int):
+    """Minimal TPU.ON_DEVICE_RECOLLECT + RECOLLECT_RESIDENT config on the
+    synthetic dataset. Shared by the pod smoke below and by
+    __graft_entry__.dryrun_multichip's resident-recollect segment."""
+    import vlnce_tpu.tasks  # noqa: F401
+    import vlnce_tpu.models  # noqa: F401
+    import vlnce_tpu.trainers  # noqa: F401
+    from vlnce_tpu.config import get_config
+    from vlnce_tpu.envs import ensure_registered
+    from vlnce_tpu.envs import rl_envs  # noqa: F401
+
+    ensure_registered()
+    img = 16
+    return get_config(opts=[
+        "BASE_TASK_CONFIG_PATH", "vlnce_tpu/tasks/config/vlnce_task.yaml",
+        "TASK_CONFIG.DATASET.TYPE", "Synthetic-VLN-v0",
+        "TASK_CONFIG.DATASET.NUM_EPISODES", n_episodes,
+        "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", 6,
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT", img,
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH", img,
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT", img,
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH", img,
+        "NUM_ENVIRONMENTS", n_envs,
+        "TENSORBOARD_DIR", "",
+        "CHECKPOINT_FOLDER", f"{tmp}/ckpts",
+        "MODEL.DEPTH_ENCODER.backbone", "resnet18",
+        "MODEL.RGB_ENCODER.cnn_type", "TorchVisionResNet18",
+        "MODEL.INSTRUCTION_ENCODER.use_pretrained_embeddings", False,
+        "MODEL.INSTRUCTION_ENCODER.vocab_size", 64,
+        "IL.epochs", 1,
+        "IL.batch_size", 2,
+        "IL.RECOLLECT_TRAINER.trajectories_file", f"{tmp}/trajectories.json.gz",
+        "IL.RECOLLECT_TRAINER.gt_file", f"{tmp}/missing_gt.json.gz",
+        "IL.RECOLLECT_TRAINER.preload_size", 2,
+        "TPU.ON_DEVICE_RECOLLECT", True,
+        "TPU.RECOLLECT_RESIDENT", True,
+    ])
+
+
+def _worker_resident_recollect() -> None:
+    """Pod smoke for resident recollection: each rank re-renders its strided
+    episode shard on local devices (recollection.py initialize_device
+    rank_slice — executed under REAL jax.process_count()==2, replacing the
+    retired monkeypatched test) and the sharded accum update stitches the
+    per-rank batches via prepare_global_batch. Prints the mean epoch loss
+    and the rank's device-episode ids."""
+    import tempfile
+
+    import jax
+    import numpy as np  # noqa: F811
+
+    from vlnce_tpu.data.recollection import TeacherRecollectionDataset
+    from vlnce_tpu.registry import registry
+
+    pid = jax.process_index()
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = tiny_resident_recollect_config(tmp, n_envs=2, n_episodes=4)
+        # each rank's strided shard (what train() below re-renders)
+        ds = TeacherRecollectionDataset(cfg)
+        ids = ",".join(ep.episode_id for ep in ds._device_episodes)
+        ds.close_sims()
+
+        trainer = registry.get_trainer("recollect_trainer")(cfg)
+        losses = []
+        orig = trainer._build_accum_step
+
+        def wrapped(*a, _orig=orig, **kw):
+            step = _orig(*a, **kw)
+
+            def recording_step(*sa, **skw):
+                out = step(*sa, **skw)
+                losses.append(float(out[3]))
+                return out
+
+            return recording_step
+
+        trainer._build_accum_step = wrapped
+        trainer.train()
+        print(f"MP_RECOLLECT {pid} {float(np.mean(losses))!r} {ids}", flush=True)
+
+
+def launch_two_process_resident_recollect(
+    local_devices: int = 4, timeout: float = 600.0,
+    repo_root: Optional[str] = None,
+) -> List[Tuple[float, List[str]]]:
+    """Spawn 2 ranks, run a full resident-recollect train() each, and return
+    per-rank (mean_epoch_loss, device_episode_ids)."""
+    outs = _launch_ranks(
+        local_devices, timeout, repo_root,
+        extra_env={"MP_SMOKE_MODE": "resident_recollect"},
+    )
+    results: List[Tuple[float, List[str]]] = [None, None]  # type: ignore
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MP_RECOLLECT"):
+                _, rank, loss, ids = line.split()
+                results[int(rank)] = (float(loss), ids.split(","))
+    assert all(r is not None for r in results), f"missing MP_RECOLLECT lines:\n{outs}"
+    return results
 
 
 def tiny_resident_dagger_config(tmp: str, n_envs: int, n_episodes: int):
@@ -228,6 +522,13 @@ def _launch_ranks(
     port = _free_port()
     if repo_root is None:
         repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    # share the test suite's persistent XLA compile cache with the rank
+    # subprocesses: without it every 2-process test pays full cold compiles
+    # in BOTH workers, which alone pushed the slow tier past its budget
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(repo_root, "tests", ".jax_cache"),
+    )
     procs = []
     for pid in range(2):
         env = dict(os.environ)
@@ -239,6 +540,8 @@ def _launch_ranks(
             PROCESS_ID=str(pid),
             PYTHONPATH=repo_root + os.pathsep + env.get("PYTHONPATH", ""),
             TF_CPP_MIN_LOG_LEVEL="3",
+            JAX_COMPILATION_CACHE_DIR=cache_dir,
+            JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5",
         )
         env.update(extra_env or {})
         procs.append(

@@ -55,9 +55,16 @@ class WDDPPO:
             )
         else:
             lr = ppo_cfg.lr
-        self.optimizer = optax.chain(
-            optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
-            optax.adam(lr, eps=ppo_cfg.eps),
+        # Adam over trainable leaves only (frozen ResNets get no moment
+        # buffers/traffic — reference torch-Adam-skips-None-grads semantics);
+        # global-norm clip stays over the full tree, where frozen grads are
+        # exact zeros (parallel/optim.py)
+        from vlnce_tpu.parallel.optim import masked_adam
+
+        model_cfg = getattr(policy, "config", None)
+        self.optimizer = masked_adam(
+            lr, policy.params, model_cfg.MODEL if model_cfg is not None else None,
+            eps=ppo_cfg.eps, max_grad_norm=ppo_cfg.max_grad_norm,
         )
         self.optim_state = self.optimizer.init(policy.params)
         self.num_updates = num_updates
@@ -210,7 +217,11 @@ class WDDPPO:
         )
 
     def _build_step(self, T: int, n: int):
-        return jax.jit(self._step_fn(T), donate_argnums=(0, 1))
+        from vlnce_tpu.parallel.distributed import align_collective_step
+
+        return align_collective_step(
+            jax.jit(self._step_fn(T), donate_argnums=(0, 1)), f"wddppo_step_T{T}n{n}"
+        )
 
     def _build_grads(self, T: int):
         """Jitted grads-only entry (no optimizer apply), sharded like the
@@ -230,7 +241,9 @@ class WDDPPO:
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return jax.jit(mapped)
+        from vlnce_tpu.parallel.distributed import align_collective_step
+
+        return align_collective_step(jax.jit(mapped), f"wddppo_grads_T{T}")
 
     # -------------------------------------------------------------- padding
     def _pad_sample(self, dev_sample, n: int):
@@ -429,7 +442,11 @@ class WDDPPO:
                 )
                 return params, optim_state, stats
 
-            self._step_cache[key] = jax.jit(scan_update, donate_argnums=(0, 1))
+            from vlnce_tpu.parallel.distributed import align_collective_step
+
+            self._step_cache[key] = align_collective_step(
+                jax.jit(scan_update, donate_argnums=(0, 1)), "wddppo_scan_update"
+            )
 
         self.policy.params, self.optim_state, stats = self._step_cache[key](
             self.policy.params, self.optim_state,
