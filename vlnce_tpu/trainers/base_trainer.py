@@ -147,9 +147,11 @@ class BaseVLNCETrainer:
                     )
                 self.policy.params = loaded
             if config.IL.is_requeue and "optim_state" in ckpt:
-                from flax import serialization
+                # restore_optim_state also migrates pre-masking checkpoints
+                # (plain Adam over the full tree) into the MaskedState layout
+                from vlnce_tpu.parallel.optim import restore_optim_state
 
-                self.optim_state = serialization.from_state_dict(self.optim_state, ckpt["optim_state"])
+                self.optim_state = restore_optim_state(self.optim_state, ckpt["optim_state"])
                 extra = ckpt.get("extra_state") or {}
                 self.start_epoch = int(extra.get("epoch", -1)) + 1
                 self.step_id = int(extra.get("step_id", 0))
