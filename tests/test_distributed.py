@@ -81,3 +81,29 @@ def _free_port() -> int:
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+def test_aligned_step_signature_includes_tree_structure():
+    """_AlignedStep keys its compiled-executable cache on the pytree
+    STRUCTURE as well as the leaf shapes: two calls with identical leaves
+    but different dict keys/nesting must compile separately, not silently
+    reuse the wrong executable (ADVICE r4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlnce_tpu.parallel.distributed import _AlignedStep
+
+    def f(tree):
+        if "a" in tree:
+            return tree["a"] * 2.0
+        return tree["b"]["x"] + 1.0
+
+    step = _AlignedStep(jax.jit(f), "sig_test")
+    x = jnp.ones((3,), jnp.float32)
+    out_a = step({"a": x})
+    out_b = step({"b": {"x": x}})  # same single [3] f32 leaf, new structure
+    assert len(step._compiled) == 2
+    assert float(out_a[0]) == 2.0 and float(out_b[0]) == 2.0
+    # scalar leaves key by python type, and repeat calls hit the cache
+    step({"a": x})
+    assert len(step._compiled) == 2

@@ -149,7 +149,15 @@ def build_epoch_scan(module, optimizer, num_layers: int, hidden: int, mesh,
         )
         return params, optim_state, losses
 
-    return jax.jit(epoch, donate_argnums=(0, 1))
+    # the fused epoch psums over the mesh like every other production
+    # cross-process step, and is typically the LONGEST compile of all — so
+    # it needs the same compile->barrier->dispatch alignment (multi-process
+    # only; single-process returns the jit unchanged)
+    from vlnce_tpu.parallel.distributed import align_collective_step
+
+    return align_collective_step(
+        jax.jit(epoch, donate_argnums=(0, 1)), f"epoch_scan_T{T_b}n{N}"
+    )
 
 
 def run_fused_epoch(params, optim_state, riter: "ResidentBatchIterator",

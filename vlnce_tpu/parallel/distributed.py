@@ -120,11 +120,70 @@ def sync_ranks(tag: str, timeout_s: float = 600.0) -> None:
         return
     global _BARRIER_SEQ
     _BARRIER_SEQ += 1
-    from jax._src import distributed as _distributed
+    try:
+        # private API (jax<=0.9 layout): the coordination-service client's
+        # barrier is pure gRPC, which is exactly what this function needs.
+        # Guarded because jax._src carries no stability guarantee.
+        from jax._src import distributed as _distributed
 
-    client = _distributed.global_state.client
-    assert client is not None, "multi-process JAX without a coordination client"
-    client.wait_at_barrier(f"vlnce:{_BARRIER_SEQ}:{tag}", int(timeout_s * 1000))
+        client = _distributed.global_state.client
+        assert client is not None, "multi-process JAX without a coordination client"
+        client.wait_at_barrier(f"vlnce:{_BARRIER_SEQ}:{tag}", int(timeout_s * 1000))
+    except (ImportError, AttributeError):
+        # public fallback: sync_global_devices barriers via a tiny device
+        # collective. Weaker (the collective itself is subject to the
+        # communicator deadline this barrier exists to protect), but its
+        # trivial program compiles in milliseconds on every rank, so the
+        # skew it sees is gRPC-scale, not big-program-compile-scale.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"vlnce:{_BARRIER_SEQ}:{tag}")
+
+
+# --------------------------------------------------------- compile leader
+# Opt-in (VLNCE_COMPILE_LEADER=1, set by launchers that KNOW all ranks share
+# one host and one persistent XLA compile cache — e.g. mp_smoke's localhost
+# rank pairs): rank 0 compiles each aligned step alone at full speed while
+# followers wait on a coordination-service key, then compile from the
+# persistent cache rank 0 just wrote. On a shared host this halves the
+# dominant cold-start cost (N ranks otherwise compile the SAME program
+# concurrently, each at 1/N speed). On real pods (no shared cache) leave it
+# off: serializing genuinely-parallel per-host compiles would slow startup.
+
+
+def _leader_mode() -> bool:
+    return os.environ.get("VLNCE_COMPILE_LEADER") == "1"
+
+
+def _coord_client():
+    """The coordination-service client (private API, guarded — same access
+    pattern as sync_ranks' primary path). None when unavailable."""
+    try:
+        from jax._src import distributed as _distributed
+
+        return _distributed.global_state.client
+    except (ImportError, AttributeError):
+        return None
+
+
+def _kv_set(key: str) -> None:
+    client = _coord_client()
+    if client is None:
+        return
+    try:
+        client.key_value_set(key, "1")
+    except Exception:  # followers degrade to the plain compile race
+        pass
+
+
+def _kv_wait(key: str, timeout_s: float = 900.0) -> None:
+    client = _coord_client()
+    if client is None:
+        return
+    try:
+        client.blocking_key_value_get(key, int(timeout_s * 1000))
+    except Exception:  # timeout/unavailable: compile anyway (correct, slower)
+        pass
 
 
 class _AlignedStep:
@@ -133,7 +192,11 @@ class _AlignedStep:
     its first dispatch — collapsing compile-time skew to gRPC latency so the
     Gloo/ICI communicator handshake at execution start always sees all ranks
     within its deadline. Subsequent calls hit the compiled executable
-    directly. Donation and shardings are preserved (jit's lower/compile)."""
+    directly. Donation and shardings are preserved (jit's lower/compile).
+    With VLNCE_COMPILE_LEADER=1, followers additionally wait for rank 0's
+    compile to land in the shared persistent cache before compiling (see
+    _leader_mode above); degrades to the plain race when the coordination
+    client is unavailable."""
 
     def __init__(self, jitted, tag: str):
         self._fn = jitted
@@ -152,14 +215,26 @@ class _AlignedStep:
                 return ("py", type(x).__name__)
             return repr(x)
 
-        return tuple(leaf_sig(x) for x in jax.tree_util.tree_leaves(args))
+        # the treedef is part of the key: two calls with identical leaf
+        # shapes but different dict keys / nesting are different programs
+        leaves, treedef = jax.tree_util.tree_flatten(args)
+        return (str(treedef), tuple(leaf_sig(x) for x in leaves))
 
     def __call__(self, *args):
+        import jax
+
         key = self._signature(args)
         compiled = self._compiled.get(key)
         if compiled is None:
+            seq = len(self._compiled) + 1
+            kv_key = f"vlnce_compiled:{self._tag}:{seq}"
+            leader = _leader_mode() and jax.process_count() > 1
+            if leader and jax.process_index() > 0:
+                _kv_wait(kv_key)
             compiled = self._fn.lower(*args).compile()
             self._compiled[key] = compiled
+            if leader and jax.process_index() == 0:
+                _kv_set(kv_key)
             sync_ranks(f"{self._tag}/{len(self._compiled)}")
         return compiled(*args)
 
