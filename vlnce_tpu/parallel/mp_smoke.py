@@ -79,11 +79,14 @@ def _global_batch():
     return obs, prev, masks, corrected, weights
 
 
-def run_update(env_lo: int, env_hi: int) -> Tuple[float, float, float]:
+def run_update(
+    env_lo: int, env_hi: int, expect_devices: Optional[int] = None,
+) -> Tuple[float, float, float]:
     """Build the production trainer and run _update_agent on the env slice
     [env_lo, env_hi) of the deterministic global batch. With
     jax.process_count() > 1 each process passes its own slice; single-process
-    callers pass the full range."""
+    callers pass the full range. `expect_devices` asserts the trainer's
+    auto-resolved mesh spans exactly that many devices (dryrun guard)."""
     from gymnasium import spaces
 
     from vlnce_tpu.trainers.dagger_trainer import DaggerTrainer
@@ -94,6 +97,10 @@ def run_update(env_lo: int, env_hi: int) -> Tuple[float, float, float]:
         cfg, load_from_ckpt=False,
         observation_space=space, action_space=spaces.Discrete(4),
     )
+    if expect_devices is not None:
+        assert trainer.mesh is not None and trainer.mesh.devices.size == expect_devices, (
+            f"expected an auto mesh over {expect_devices} devices, got {trainer.mesh}"
+        )
     obs, prev, masks, corrected, weights = _global_batch()
     sl = slice(env_lo, env_hi)
     n = env_hi - env_lo
@@ -127,11 +134,28 @@ def worker_main() -> None:
     if mode == "resident_recollect":
         _worker_resident_recollect()
         return
+    if mode == "il_ppo":
+        # combined mode for the driver dryrun: BOTH production updates in one
+        # rank-pair launch, paying the subprocess imports and the
+        # jax.distributed rendezvous once instead of twice
+        _worker_il()
+        _worker_ppo()
+        return
+    _worker_il()
+
+
+def _worker_il() -> None:
+    import time
+
+    import jax
+
     nproc = jax.process_count()
     assert N_GLOBAL % nproc == 0
     per = N_GLOBAL // nproc
     pid = jax.process_index()
+    t0 = time.perf_counter()
     loss, action_loss, aux_loss = run_update(pid * per, (pid + 1) * per)
+    print(f"MP_TIME {pid} il {time.perf_counter() - t0:.1f}s", flush=True)
     print(f"MP_LOSS {pid} {loss!r} {action_loss!r} {aux_loss!r}", flush=True)
 
 
@@ -223,13 +247,31 @@ def _ppo_global_batch(agent):
     }
 
 
-def run_ppo_update(env_lo: int, env_hi: int, grads_out: Optional[str] = None):
+def _host(x):
+    """Read a replicated (out_specs P()) multi-process array: the first
+    addressable shard IS the full value. np.asarray on a global array would
+    instead start a cross-process Gloo fetch the other rank never joins ->
+    deadlock."""
+    if hasattr(x, "addressable_shards"):
+        return np.asarray(x.addressable_shards[0].data)
+    return np.asarray(x)
+
+
+def run_ppo_update(env_lo: int, env_hi: int, grads_out: Optional[str] = None,
+                   update: bool = True):
     """PPO cross-topology probe on the env slice [env_lo, env_hi): compute
     globally-reduced minibatch GRADIENTS through the production chain
     (_pad_sample -> _globalize_sample -> sharded _grads_and_stats), then run
     the production update_device. Returns the stats dict; when grads_out is
     given the (replicated) gradient leaves are saved there as npz — the
-    machine-independent cross-topology comparison medium (VERDICT r3 #3)."""
+    machine-independent cross-topology comparison medium (VERDICT r3 #3).
+
+    update=False (the dryrun's budget mode) skips update_device and returns
+    the stats from the grads chain instead — the same _grads_and_stats math
+    the update step runs (rl/ppo.py:_step_fn), minus the optimizer-apply
+    compile. The 2-process update path itself stays covered by pytest
+    (tests/test_multiprocess_train.py) and by launch_two_process_ppo, which
+    keeps update=True."""
     import jax
     import jax.numpy as jnp
 
@@ -252,22 +294,15 @@ def run_ppo_update(env_lo: int, env_hi: int, grads_out: Optional[str] = None):
     )
     dev_sample, valid = agent._pad_sample(dev_sample, n)
     dev_sample, valid = agent._globalize_sample(dev_sample, valid)
-    grads, _ = agent._build_grads(PPO_T)(
+    grads, gstats = agent._build_grads(PPO_T)(
         agent.policy.params, dev_sample, valid, jnp.float32(0.2)
     )
     if grads_out:
-        # grads come out of the shard_map replicated (out_specs P()), so the
-        # first addressable shard IS the full value. np.asarray on a global
-        # multi-process array would instead start a cross-process Gloo fetch
-        # that the other rank (grads_out=None) never joins -> deadlock.
-        def _host(x):
-            if hasattr(x, "addressable_shards"):
-                return np.asarray(x.addressable_shards[0].data)
-            return np.asarray(x)
-
         leaves = [_host(x) for x in jax.tree_util.tree_leaves(grads)]
         np.savez(grads_out, *leaves)
 
+    if not update:
+        return {k: float(_host(v)) for k, v in gstats.items()}
     stats = agent.update_device(local, np.random.RandomState(3))
     return stats
 
@@ -290,7 +325,14 @@ def _worker_ppo() -> None:
     grads_out = (
         os.path.join(out_dir, f"ppo_grads_mp_rank{pid}.npz") if out_dir else None
     )
-    stats = run_ppo_update(pid * per, (pid + 1) * per, grads_out=grads_out)
+    import time
+
+    t0 = time.perf_counter()
+    stats = run_ppo_update(
+        pid * per, (pid + 1) * per, grads_out=grads_out,
+        update=os.environ.get("MP_SMOKE_PPO_GRADS_ONLY") != "1",
+    )
+    print(f"MP_TIME {pid} ppo {time.perf_counter() - t0:.1f}s", flush=True)
     print(f"MP_PPO {pid} {json.dumps(stats)}", flush=True)
 
 
@@ -316,6 +358,46 @@ def launch_two_process_ppo(
                 results[int(rank)] = json.loads(payload)
     assert all(r is not None for r in results), f"missing MP_PPO lines:\n{outs}"
     return results, [
+        os.path.join(out_dir, f"ppo_grads_mp_rank{pid}.npz") for pid in range(2)
+    ]
+
+
+def launch_two_process_il_ppo(
+    out_dir: str, local_devices: int = 4, timeout: float = 600.0,
+    repo_root: Optional[str] = None,
+) -> Tuple[List[Tuple[float, float, float]], List[dict], List[str]]:
+    """ONE rank-pair launch running BOTH production updates (IL
+    DaggerTrainer step, then the WDDPPO grads+update chain): the driver
+    dryrun's budget lever — subprocess interpreter+jax imports and the
+    jax.distributed rendezvous are paid once instead of per-proof. Returns
+    (per-rank IL (loss, action, aux), per-rank PPO stats dicts, per-rank
+    gradient npz paths)."""
+    import json
+
+    outs = _launch_ranks(
+        local_devices, timeout, repo_root,
+        extra_env={
+            "MP_SMOKE_MODE": "il_ppo",
+            "MP_SMOKE_OUT": out_dir,
+            # grads-only PPO: the optimizer-apply compile is pytest-proven
+            # (test_two_process_ppo_update_matches_single_process keeps it);
+            # the dryrun's equality asserts ride the grads + grads-stats
+            "MP_SMOKE_PPO_GRADS_ONLY": "1",
+        },
+    )
+    il: List[Tuple[float, float, float]] = [None, None]  # type: ignore
+    ppo: List[dict] = [None, None]  # type: ignore
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MP_LOSS"):
+                _, rank, l, a, x = line.split()
+                il[int(rank)] = (float(l), float(a), float(x))
+            elif line.startswith("MP_PPO"):
+                _, rank, payload = line.split(" ", 2)
+                ppo[int(rank)] = json.loads(payload)
+    assert all(r is not None for r in il), f"missing MP_LOSS lines:\n{outs}"
+    assert all(r is not None for r in ppo), f"missing MP_PPO lines:\n{outs}"
+    return il, ppo, [
         os.path.join(out_dir, f"ppo_grads_mp_rank{pid}.npz") for pid in range(2)
     ]
 
@@ -529,11 +611,21 @@ def _launch_ranks(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(repo_root, "tests", ".jax_cache"),
     )
+    # Compile-budget flag for the CPU smoke topology: backend opt level 0
+    # cuts cold XLA:CPU compiles ~45% (measured 74 -> 40 s on the IL step).
+    # The proofs compare across topologies at rtol 5e-4, far above the
+    # ~3e-5 relative drift a different codegen level introduces; the SPMD
+    # partitioning and Gloo collectives under test are unchanged. Override
+    # with MP_SMOKE_XLA_OPT= (empty disables).
+    opt_flag = os.environ.get("MP_SMOKE_XLA_OPT", "--xla_backend_optimization_level=0")
     procs = []
     for pid in range(2):
         env = dict(os.environ)
         env.update(
-            XLA_FLAGS=f"--xla_force_host_platform_device_count={local_devices}",
+            XLA_FLAGS=(
+                f"--xla_force_host_platform_device_count={local_devices} "
+                + opt_flag
+            ).strip(),
             JAX_PLATFORMS="cpu",
             COORDINATOR_ADDRESS=f"localhost:{port}",
             NUM_PROCESSES="2",
@@ -542,6 +634,10 @@ def _launch_ranks(
             TF_CPP_MIN_LOG_LEVEL="3",
             JAX_COMPILATION_CACHE_DIR=cache_dir,
             JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5",
+            # both ranks share this host and cache_dir: rank 0 compiles each
+            # aligned step alone at full core speed, rank 1 replays it from
+            # the persistent cache (parallel/distributed.py leader protocol)
+            VLNCE_COMPILE_LEADER="1",
         )
         env.update(extra_env or {})
         procs.append(
