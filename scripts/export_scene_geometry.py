@@ -81,7 +81,9 @@ def main() -> None:
                 "use --connectivity instead"
             )
         from vlnce_tpu.config import get_config
-        from vlnce_tpu.envs.habitat_adapter import HabitatAdapter
+        # import the adapter module (not the class) AFTER the habitat_sim
+        # check so the faked-backend tests can reload it underneath us
+        from vlnce_tpu.envs import habitat_adapter
         from vlnce_tpu.tasks.datasets import make_dataset
 
         cfg = get_config(args.exp_config, opts=list(args.opts) or None)
@@ -91,7 +93,7 @@ def main() -> None:
         if args.scenes:
             want = set(args.scenes)
             scene_ids = [s for s in scene_ids if si._scene_stem(s) in want]
-        sim = HabitatAdapter(task_cfg.SIMULATOR)
+        sim = habitat_adapter.HabitatSimAdapter(task_cfg.SIMULATOR)
         for scene_id in scene_ids:
             sim.reconfigure(scene_id)
             stem = si._scene_stem(scene_id)

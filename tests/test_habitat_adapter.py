@@ -107,6 +107,14 @@ class _PathFinder:
     def get_random_navigable_point(self):
         return np.array([1.0, 0.0, 2.0], np.float32)
 
+    def get_bounds(self):
+        """Navmesh AABB, real-PathFinder surface: (lower, upper) world
+        [x, y, z] — the input scene_from_habitat samples over."""
+        return (
+            np.array([-10.0, 0.0, -8.0], np.float32),
+            np.array([10.0, 0.0, 8.0], np.float32),
+        )
+
 
 class _FakeSim:
     created = []
@@ -518,3 +526,70 @@ def test_go_toward_point_keeps_pose_when_snap_nans(adapter_cls):
     finally:
         sim._sim.pathfinder.snap_point = orig_snap
     sim.close()
+
+
+def test_scene_from_habitat_faked_navmesh(adapter_cls):
+    """scene_from_habitat (the asset-day navmesh -> SceneBatch exporter,
+    VERDICT r4 #8) behind the faked pathfinder: samples pf.is_navigable at
+    every cell center at the navmesh floor height over pf.get_bounds(), in
+    the scene's NATIVE frame. Closes the one untested geometry source —
+    previously the wrapper had never executed against a habitat-shaped
+    object."""
+    from vlnce_tpu.envs import scene_import as si
+
+    sim = adapter_cls(_sim_config())
+    sim.reconfigure("mp3d/FAKE/FAKE.glb")
+    scene = si.scene_from_habitat("FAKE", sim._sim)
+    pf = sim._sim.pathfinder
+
+    # the fake mesh is the strip |x| <= 10 inside bounds x,z in [-10,10]x[-8,8]
+    for x, z, navigable in [
+        (0.0, 0.0, True), (9.8, -7.0, True), (-9.8, 7.0, True),
+        (10.6, 0.0, False), (-10.6, 0.0, False),
+    ]:
+        i, j = scene.world_to_cell(x, z)
+        assert scene.navigable_cell(i, j) == navigable, (x, z)
+        # grid truth == the oracle it sampled (floor height from bounds)
+        cx, cz = scene.cell_to_world(i, j)
+        assert scene.navigable_cell(i, j) == bool(pf.is_navigable([cx, 0.0, cz])), (x, z)
+
+    # native frame preserved: origin covers lower bound minus margin,
+    # snapped to the _RES lattice (not recentered to 0)
+    lower, _ = pf.get_bounds()
+    from vlnce_tpu.envs.gridworld import _RES
+
+    assert scene.origin[0] <= float(lower[0]) and scene.origin[1] <= float(lower[2])
+    assert abs(scene.origin[0] / _RES - round(scene.origin[0] / _RES)) < 1e-9
+    sim.close()
+
+
+def test_export_scene_geometry_habitat_faked_backend(adapter_cls, tmp_path, monkeypatch):
+    """scripts/export_scene_geometry.py --habitat end-to-end on the faked
+    backend: dataset scene discovery -> adapter reconfigure per scene ->
+    scene_from_habitat -> npz export loadable by the runtime provider. This
+    is the exact command asset day runs first; it also pins the adapter
+    import (a wrong class name here survived 4 rounds because the path had
+    never executed)."""
+    import os
+
+    from vlnce_tpu.envs import scene_import as si
+    from scripts.export_scene_geometry import main as export_main
+
+    out_dir = str(tmp_path / "geom")
+    monkeypatch.setattr(sys, "argv", [
+        "export_scene_geometry.py",
+        "--habitat",
+        "--exp-config", "vlnce_tpu/config/experiments/synthetic/smoke_seq2seq.yaml",
+        "--out-dir", out_dir,
+        "TASK_CONFIG.DATASET.NUM_EPISODES", "2",
+        "TASK_CONFIG.DATASET.NUM_SCENES", "1",
+    ])
+    export_main()
+    npzs = [f for f in os.listdir(out_dir) if f.endswith(".npz")]
+    assert npzs, "no geometry exported"
+    scene = si.load_scene_geometry(os.path.join(out_dir, npzs[0]))
+    # the fake mesh strip must be walkable in the export
+    i, j = scene.world_to_cell(0.0, 0.0)
+    assert scene.navigable_cell(i, j)
+    i, j = scene.world_to_cell(10.6, 0.0)
+    assert not scene.navigable_cell(i, j)
