@@ -505,3 +505,162 @@ def test_bank_fidelity_vs_node_spacing(tmp_path):
     # error magnitudes stay bounded (gross-regression tripwire)
     for spacing, (_, mean_rel, max_rel) in curve.items():
         assert mean_rel < 0.5 and max_rel < 1.0, (spacing, mean_rel, max_rel)
+
+
+@pytest.mark.slow
+def test_bank_action_and_metric_divergence_vs_spacing(tmp_path):
+    """ACTION/METRIC-level fidelity of the bank approximation (VERDICT r4
+    missing #3): roll the SAME episodes through scan-eval twice — true
+    raycast rendering vs bank lookups — with an obs-SENSITIVE policy
+    (random-init Seq2Seq, deterministic argmax; NOT the beta=1 expert, which
+    ignores observations), at node spacings bracketing the reference
+    connectivity graphs' ~2.25 m pitch.
+
+    Reported per spacing (recorded in VALIDATION.md):
+      * action-divergence rate: fraction of steps where the bank-driven
+        policy picks a different action (closed loop, so one flip compounds)
+      * median step of FIRST divergence
+      * SR / SPL / nDTW mean deltas vs the render run
+    Pinned at 2.25 m: divergence and metric deltas stay under loose
+    regression bounds; denser banks must not diverge later than sparser
+    ones' bound. Match: the per-step exact rendering this approximates
+    (reference habitat_extensions/sensors.py:75-78).
+
+    Measured (deterministic seeds, recorded in VALIDATION.md):
+      spacing 1.0  -> rate 0.271, first-divergence median step 9.5
+      spacing 2.25 -> rate 0.234, first 11.0
+      spacing 4.0  -> rate 0.349, first 5.0
+      metric deltas: d_success = d_spl = 0.0 at every spacing,
+      d_ndtw = -0.002 (render-run means: success 0.0, ndtw 0.257)."""
+    from gymnasium import spaces as gspaces
+
+    import vlnce_tpu.models  # noqa: F401
+    import vlnce_tpu.tasks  # noqa: F401
+    import vlnce_tpu.trainers  # noqa: F401
+    from vlnce_tpu.config import get_config
+    from vlnce_tpu.envs import ensure_registered
+    from vlnce_tpu.envs.device_sim import SceneBatch, camera_specs_from_config
+    from vlnce_tpu.envs.gridworld import get_scene
+    from vlnce_tpu.data.feature_bank import encode_poses
+    from vlnce_tpu.models.seq2seq_policy import Seq2SeqPolicy
+    from vlnce_tpu.ops.obs_transforms import get_active_obs_transforms
+    from vlnce_tpu.tasks.datasets import make_dataset
+    from vlnce_tpu.trainers.scan_eval import metrics_from_actions, run_scan_rollouts
+    from scripts.generate_feature_bank import lattice_nodes
+
+    ensure_registered()
+    tmp = str(tmp_path)
+    N_EPS, T_MAX = 12, 16
+    common_opts = [
+        "TASK_CONFIG.DATASET.NUM_EPISODES", N_EPS,
+        "TASK_CONFIG.ENVIRONMENT.MAX_EPISODE_STEPS", T_MAX,
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.HEIGHT", IMG,
+        "TASK_CONFIG.SIMULATOR.RGB_SENSOR.WIDTH", IMG,
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.HEIGHT", IMG,
+        "TASK_CONFIG.SIMULATOR.DEPTH_SENSOR.WIDTH", IMG,
+        "EVAL.SCAN_BATCH", 4,
+        "EVAL.SCAN_SEGMENT", 4,
+    ]
+    cfg = get_config(
+        "vlnce_tpu/config/experiments/synthetic/smoke_seq2seq.yaml",
+        opts=common_opts,
+    )
+    episodes = list(make_dataset("Synthetic-VLN-v0", cfg.TASK_CONFIG.DATASET).episodes)[:N_EPS]
+    space = gspaces.Dict({
+        "rgb": gspaces.Box(0, 255, (IMG, IMG, 3), np.uint8),
+        "depth": gspaces.Box(0, 1, (IMG, IMG, 1), np.float32),
+        "instruction": gspaces.Box(0, 10000, (200,), np.int32),
+        "progress": gspaces.Box(0, 1, (1,), np.float32),
+    })
+    policy = Seq2SeqPolicy.from_config(cfg, space, gspaces.Discrete(4))
+    policy.init_params(jax.random.PRNGKey(0), batch_size=4)
+    transforms = get_active_obs_transforms(cfg)
+    specs = camera_specs_from_config(cfg.TASK_CONFIG.SIMULATOR)
+
+    def scene_batch(scene, n):
+        return jax.device_put(SceneBatch(
+            occupancy=np.broadcast_to(scene.occupancy, (n,) + scene.occupancy.shape),
+            wall_colors=np.broadcast_to(scene.wall_colors, (n,) + scene.wall_colors.shape),
+            floor_color=np.broadcast_to(scene.floor_color, (n, 3)),
+            ceil_color=np.broadcast_to(scene.ceil_color, (n, 3)),
+            goal_field=np.ones((n,) + scene.occupancy.shape, np.float32),
+            d0=np.ones((n,), np.float32),
+            origin_xz=np.zeros((n, 2), np.float32),
+        ))
+
+    def build_banks(bank_dir, spacing):
+        """Banks from THE SAME policy's frozen encoders (encode_poses), one
+        npz per scene the episodes touch — generator-script semantics without
+        a second policy init."""
+        os.makedirs(bank_dir, exist_ok=True)
+        H = 8
+        for sid in sorted({ep.scene_id for ep in episodes}):
+            scene = get_scene(sid)
+            nodes = lattice_nodes(scene, spacing)
+            M = nodes.shape[0]
+            rgb_rows, depth_rows = [], []
+            for h in range(H):
+                heading = np.full((M,), h * 2 * np.pi / H, np.float32)
+                pos = np.zeros((M, 3), np.float32)
+                pos[:, 0], pos[:, 2] = nodes[:, 0], nodes[:, 1]
+                r, d, rgb_shape, depth_shape = encode_poses(
+                    policy, transforms, specs, scene_batch(scene, M), pos, heading
+                )
+                rgb_rows.append(r)
+                depth_rows.append(d)
+            stem = os.path.splitext(os.path.basename(sid))[0]
+            save_scene_bank(
+                os.path.join(bank_dir, f"{stem}.npz"),
+                nodes, np.stack(rgb_rows, axis=1), np.stack(depth_rows, axis=1),
+                rgb_shape, depth_shape,
+            )
+
+    def rollout(extra_opts):
+        run_cfg = get_config(
+            "vlnce_tpu/config/experiments/synthetic/smoke_seq2seq.yaml",
+            opts=common_opts + extra_opts,
+        )
+        acts = run_scan_rollouts(policy, transforms, run_cfg, episodes, jax.random.PRNGKey(5))
+        stats = metrics_from_actions(run_cfg, episodes, acts)
+        means = {
+            k: float(np.mean([s[k] for s in stats.values()]))
+            for k in ("success", "spl", "ndtw")
+        }
+        return acts, means
+
+    acts_render, m_render = rollout([])
+
+    def divergence(acts_a, acts_b):
+        rates, firsts = [], []
+        for a, b in zip(acts_a, acts_b):
+            L = min(len(a), len(b))
+            diff = np.asarray(a[:L]) != np.asarray(b[:L])
+            # length mismatch beyond L counts as divergence too
+            n_diff = int(diff.sum()) + abs(len(a) - len(b))
+            rates.append(n_diff / max(len(a), len(b)))
+            idx = np.flatnonzero(diff)
+            firsts.append(int(idx[0]) if len(idx) else (L if len(a) != len(b) else T_MAX))
+        return float(np.mean(rates)), float(np.median(firsts))
+
+    results = {}
+    for spacing in (1.0, 2.25, 4.0):
+        bank_dir = f"{tmp}/banks_{spacing}"
+        build_banks(bank_dir, spacing)
+        acts_bank, m_bank = rollout(["TPU.FEATURE_BANK_DIR", bank_dir])
+        rate, first = divergence(acts_render, acts_bank)
+        deltas = {k: m_bank[k] - m_render[k] for k in m_render}
+        results[spacing] = {"rate": rate, "first": first, **{f"d_{k}": v for k, v in deltas.items()}}
+
+    print("bank action/metric divergence vs spacing:", results, "render:", m_render)
+
+    # the policy IS obs-sensitive: feature perturbations flip SOME actions
+    assert results[4.0]["rate"] > 0.0, results
+    # regression bounds at the reference's ~2.25 m pitch: divergence happens
+    # (closed loop compounds one flip), but bounded, and metric deltas stay
+    # inside the band published checkpoints will be compared at
+    r = results[2.25]
+    assert r["rate"] <= 0.65, results
+    assert abs(r["d_ndtw"]) <= 0.25 and abs(r["d_spl"]) <= 0.25 and abs(r["d_success"]) <= 0.35, results
+    # a denser bank must not diverge EARLIER than the sparse bound
+    assert results[1.0]["first"] >= 1.0, results
+    assert results[1.0]["rate"] <= results[4.0]["rate"] + 0.25, results
