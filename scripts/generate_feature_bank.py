@@ -47,19 +47,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def lattice_nodes(scene, spacing: float) -> np.ndarray:
-    """Navigable-cell lattice at `spacing` meters -> [M, 2] world (x, z)."""
+    """Navigable-cell lattice at `spacing` meters -> [M, 2] world (x, z).
+
+    The lattice phase is chosen per scene: imported corridor grids
+    (envs/scene_import.py) are navigable only on thin corridor tubes whose
+    world positions depend on the source graph, so a fixed cell-0 anchor can
+    miss every corridor. Search all k*k stride offsets and keep the one
+    covering the most navigable cells."""
     n = scene.occupancy.shape[0]
     res = scene.cell_to_world(1, 0)[0] - scene.cell_to_world(0, 0)[0]
-    world = n * res
-    nodes = []
     k = max(1, int(round(spacing / res)))
-    for i in range(0, n, k):
-        for j in range(0, n, k):
-            if not scene.occupancy[i, j]:
-                nodes.append(scene.cell_to_world(i, j))
-    if not nodes:
+    nav = ~scene.occupancy.astype(bool)
+    best, best_count = (0, 0), -1
+    for oi in range(min(k, n)):
+        for oj in range(min(k, n)):
+            count = int(nav[oi::k, oj::k].sum())
+            if count > best_count:
+                best, best_count = (oi, oj), count
+    if best_count <= 0:
         raise RuntimeError(f"no navigable lattice nodes in scene {scene.scene_id}")
-    del world
+    oi, oj = best
+    nodes = [
+        scene.cell_to_world(i, j)
+        for i in range(oi, n, k)
+        for j in range(oj, n, k)
+        if nav[i, j]
+    ]
     return np.asarray(nodes, np.float32)
 
 
@@ -139,10 +152,18 @@ def main() -> None:
     H = args.headings
     headings = (2.0 * np.pi / H) * np.arange(H, dtype=np.float32)
 
+    from vlnce_tpu.envs.scene_import import _scene_stem
+
     for scene_id in scene_ids:
         scene = get_scene(scene_id)
-        if graphs is not None and scene_id in graphs:
-            nodes = graph_nodes(graphs[scene_id])
+        # the reference's connectivity_graphs.pkl keys by scene STEM
+        # ('17DRP5sb8fy'), episode scene_ids carry the full relative path —
+        # match both (same normalization as scene_import.scenes_from_connectivity)
+        graph = None
+        if graphs is not None:
+            graph = graphs.get(scene_id) or graphs.get(_scene_stem(scene_id))
+        if graph is not None:
+            nodes = graph_nodes(graph)
         else:
             nodes = lattice_nodes(scene, args.spacing)
         M = nodes.shape[0]

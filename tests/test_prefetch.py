@@ -47,14 +47,31 @@ def test_early_break_shuts_down_producer():
 
 
 def test_overlap_actually_happens():
-    """Producer sleep and consumer sleep overlap: wall time well below sum."""
+    """Producer and consumer work runs concurrently. Checked structurally —
+    both sides observed inside their sleep at the same instant — because a
+    wall-clock threshold (serial ~0.40s vs overlapped ~0.22s) flakes on a
+    loaded 1-core host where scheduler latency dwarfs the 20ms sleeps."""
+    import threading
+
+    active = 0
+    lock = threading.Lock()
+    overlapped = threading.Event()
+
+    def _sleep_tracked(dt):
+        nonlocal active
+        with lock:
+            active += 1
+            if active >= 2:
+                overlapped.set()
+        time.sleep(dt)
+        with lock:
+            active -= 1
+
     def slow_gen():
         for _ in range(10):
-            time.sleep(0.02)
+            _sleep_tracked(0.02)
             yield 1
 
-    t0 = time.time()
     for _ in PrefetchIterator(slow_gen(), depth=4):
-        time.sleep(0.02)
-    wall = time.time() - t0
-    assert wall < 0.34, wall  # serial would be ~0.40s
+        _sleep_tracked(0.02)
+    assert overlapped.is_set(), "producer never ran concurrently with consumer"
