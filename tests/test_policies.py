@@ -190,8 +190,11 @@ def test_encoder_remat_is_semantically_invisible():
         logits, _, _ = pol.module.apply({"params": params}, obs, st, prev, masks)
         return jnp.sum(jax.nn.log_softmax(logits)[:, 0])
 
-    lb, gb = jax.value_and_grad(lambda p: loss(base, p))(base.params)
-    lr, gr = jax.value_and_grad(lambda p: loss(rem, p))(rem.params)
+    # jit the grad programs: eager value_and_grad of a full policy dispatches
+    # thousands of single ops (~80s warm on a 1-core host); jitted it is two
+    # persistent-cacheable programs
+    lb, gb = jax.jit(jax.value_and_grad(lambda p: loss(base, p)))(base.params)
+    lr, gr = jax.jit(jax.value_and_grad(lambda p: loss(rem, p)))(rem.params)
     np.testing.assert_allclose(float(lb), float(lr), rtol=1e-6)
     for (pa, a), (_, b) in zip(
         jax.tree_util.tree_leaves_with_path(gb),

@@ -116,6 +116,43 @@ def run_update(
     )
 
 
+def _enable_nonzero_rank_cache_writes() -> None:
+    """Let every rank persist its compile-cache entries, not just rank 0.
+
+    jax hardcodes "only process 0 writes persistent-cache entries"
+    (jax._src.compiler._cache_write) to avoid write contention on shared
+    network filesystems like GCS. In this 2-process-on-one-host smoke
+    topology the cache dir is a local disk and the ranks' cache keys
+    DIFFER (the accelerator_config entry hashes each rank's local device
+    topology), so the stock rule means rank 1 recompiles every collective
+    program cold on EVERY launch while rank 0 idles at the paired
+    collective — measured as the dominant wall-clock of every 2-process
+    test (~50-115 s per launch, repeat runs included). The write guard
+    reads jax._src.distributed.global_state.process_id at call time; lie
+    about it for the duration of the write only. Private-API use is
+    exception-guarded: on any jax-internals change the workers keep the
+    stock (slow but correct) behavior.
+    """
+    try:
+        from jax._src import compiler as _compiler
+        from jax._src import distributed as _distributed
+
+        orig = _compiler._cache_write
+
+        def patched(*args, **kwargs):
+            state = _distributed.global_state
+            real_pid = state.process_id
+            try:
+                state.process_id = 0
+                return orig(*args, **kwargs)
+            finally:
+                state.process_id = real_pid
+
+        _compiler._cache_write = patched
+    except Exception:  # pragma: no cover - depends on jax internals
+        pass
+
+
 def worker_main() -> None:
     """Entry for the spawned rank processes (see launch_two_process)."""
     import jax
@@ -124,6 +161,7 @@ def worker_main() -> None:
     from vlnce_tpu.parallel.distributed import init_distributed
 
     assert init_distributed(), "expected multi-process init from env"
+    _enable_nonzero_rank_cache_writes()
     mode = os.environ.get("MP_SMOKE_MODE")
     if mode == "resident_dagger":
         _worker_resident_dagger()
@@ -135,11 +173,17 @@ def worker_main() -> None:
         _worker_resident_recollect()
         return
     if mode == "il_ppo":
-        # combined mode for the driver dryrun: BOTH production updates in one
-        # rank-pair launch, paying the subprocess imports and the
+        # combined mode (driver dryrun AND pytest): BOTH production updates
+        # in one rank-pair launch, paying the subprocess imports and the
         # jax.distributed rendezvous once instead of twice
         _worker_il()
         _worker_ppo()
+        return
+    if mode == "resident_both":
+        # combined mode for pytest: both resident full-train() pod smokes in
+        # one rank-pair launch (same budget lever as il_ppo)
+        _worker_resident_recollect()
+        _worker_resident_dagger()
         return
     _worker_il()
 
@@ -270,8 +314,8 @@ def run_ppo_update(env_lo: int, env_hi: int, grads_out: Optional[str] = None,
     the stats from the grads chain instead — the same _grads_and_stats math
     the update step runs (rl/ppo.py:_step_fn), minus the optimizer-apply
     compile. The 2-process update path itself stays covered by pytest
-    (tests/test_multiprocess_train.py) and by launch_two_process_ppo, which
-    keeps update=True."""
+    (tests/test_multiprocess_train.py runs the combined il_ppo launch with
+    ppo_grads_only=False, i.e. update=True)."""
     import jax
     import jax.numpy as jnp
 
@@ -364,27 +408,24 @@ def launch_two_process_ppo(
 
 def launch_two_process_il_ppo(
     out_dir: str, local_devices: int = 4, timeout: float = 600.0,
-    repo_root: Optional[str] = None,
+    repo_root: Optional[str] = None, ppo_grads_only: bool = True,
 ) -> Tuple[List[Tuple[float, float, float]], List[dict], List[str]]:
     """ONE rank-pair launch running BOTH production updates (IL
-    DaggerTrainer step, then the WDDPPO grads+update chain): the driver
-    dryrun's budget lever — subprocess interpreter+jax imports and the
-    jax.distributed rendezvous are paid once instead of per-proof. Returns
-    (per-rank IL (loss, action, aux), per-rank PPO stats dicts, per-rank
-    gradient npz paths)."""
+    DaggerTrainer step, then the WDDPPO grads+update chain): the budget
+    lever shared by the driver dryrun and pytest — subprocess
+    interpreter+jax imports and the jax.distributed rendezvous are paid
+    once instead of per-proof. Returns (per-rank IL (loss, action, aux),
+    per-rank PPO stats dicts, per-rank gradient npz paths).
+
+    ppo_grads_only=True (the dryrun default) skips the optimizer-apply
+    compile and returns the grads-chain stats; pytest passes False so the
+    full update_device stays 2-process-proven."""
     import json
 
-    outs = _launch_ranks(
-        local_devices, timeout, repo_root,
-        extra_env={
-            "MP_SMOKE_MODE": "il_ppo",
-            "MP_SMOKE_OUT": out_dir,
-            # grads-only PPO: the optimizer-apply compile is pytest-proven
-            # (test_two_process_ppo_update_matches_single_process keeps it);
-            # the dryrun's equality asserts ride the grads + grads-stats
-            "MP_SMOKE_PPO_GRADS_ONLY": "1",
-        },
-    )
+    extra_env = {"MP_SMOKE_MODE": "il_ppo", "MP_SMOKE_OUT": out_dir}
+    if ppo_grads_only:
+        extra_env["MP_SMOKE_PPO_GRADS_ONLY"] = "1"
+    outs = _launch_ranks(local_devices, timeout, repo_root, extra_env=extra_env)
     il: List[Tuple[float, float, float]] = [None, None]  # type: ignore
     ppo: List[dict] = [None, None]  # type: ignore
     for out in outs:
@@ -593,6 +634,32 @@ def launch_two_process_resident_dagger(
                 results[int(rank)] = (float(loss), int(n_eps), ids.split(","))
     assert all(r is not None for r in results), f"missing MP_RESIDENT lines:\n{outs}"
     return results
+
+
+def launch_two_process_resident_both(
+    local_devices: int = 4, timeout: float = 900.0,
+    repo_root: Optional[str] = None,
+) -> Tuple[List[Tuple[float, List[str]]], List[Tuple[float, int, List[str]]]]:
+    """ONE rank-pair launch running BOTH resident full-train() pod smokes
+    (recollect, then DAgger) — imports + rendezvous paid once. Returns
+    (recollect per-rank results, dagger per-rank results) with the same
+    shapes as the single-mode launchers."""
+    outs = _launch_ranks(
+        local_devices, timeout, repo_root, extra_env={"MP_SMOKE_MODE": "resident_both"}
+    )
+    recollect: List[Tuple[float, List[str]]] = [None, None]  # type: ignore
+    dagger: List[Tuple[float, int, List[str]]] = [None, None]  # type: ignore
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MP_RECOLLECT"):
+                _, rank, loss, ids = line.split()
+                recollect[int(rank)] = (float(loss), ids.split(","))
+            elif line.startswith("MP_RESIDENT"):
+                _, rank, loss, n_eps, ids = line.split()
+                dagger[int(rank)] = (float(loss), int(n_eps), ids.split(","))
+    assert all(r is not None for r in recollect), f"missing MP_RECOLLECT lines:\n{outs}"
+    assert all(r is not None for r in dagger), f"missing MP_RESIDENT lines:\n{outs}"
+    return recollect, dagger
 
 
 def _launch_ranks(
