@@ -101,16 +101,14 @@ def main() -> None:
     ap.add_argument("opts", nargs="*", default=[])
     args = ap.parse_args()
 
-    import jax
-
     import vlnce_tpu.models  # noqa: F401  (registry population)
     import vlnce_tpu.tasks  # noqa: F401
     import vlnce_tpu.trainers  # noqa: F401
     from vlnce_tpu.envs import rl_envs  # noqa: F401
     from vlnce_tpu.config import get_config
-    from vlnce_tpu.data.feature_bank import encode_poses, save_scene_bank
+    from vlnce_tpu.data.feature_bank import encode_scene_bank, save_scene_bank
     from vlnce_tpu.envs import ensure_registered
-    from vlnce_tpu.envs.device_sim import SceneBatch, camera_specs_from_config
+    from vlnce_tpu.envs.device_sim import camera_specs_from_config
     from vlnce_tpu.envs.gridworld import get_scene
     from vlnce_tpu.registry import registry
     from vlnce_tpu.tasks.datasets import make_dataset
@@ -167,35 +165,11 @@ def main() -> None:
         else:
             nodes = lattice_nodes(scene, args.spacing)
         M = nodes.shape[0]
-        # every (node, heading) pose, node-major
-        pos = np.zeros((M * H, 3), np.float32)
-        pos[:, 0] = np.repeat(nodes[:, 0], H)
-        pos[:, 2] = np.repeat(nodes[:, 1], H)
-        head = np.tile(headings, M)
-
-        rgb_rows, depth_rows = [], []
-        rgb_shape = depth_shape = None
-        for lo in range(0, M * H, args.chunk):
-            chunk = slice(lo, min(lo + args.chunk, M * H))
-            n = chunk.stop - chunk.start
-            scenes = jax.device_put(SceneBatch(
-                occupancy=np.broadcast_to(scene.occupancy, (n,) + scene.occupancy.shape),
-                wall_colors=np.broadcast_to(scene.wall_colors, (n,) + scene.wall_colors.shape),
-                floor_color=np.broadcast_to(scene.floor_color, (n, 3)),
-                ceil_color=np.broadcast_to(scene.ceil_color, (n, 3)),
-                goal_field=np.ones((n,) + scene.occupancy.shape, np.float32),
-                d0=np.ones((n,), np.float32),
-                origin_xz=np.broadcast_to(
-                    np.asarray(scene.origin, np.float32), (n, 2)
-                ),
-            ))
-            rgb, depth, rgb_shape, depth_shape = encode_poses(
-                policy, transforms, specs, scenes, pos[chunk], head[chunk]
-            )
-            rgb_rows.append(rgb)
-            depth_rows.append(depth)
-        rgb_all = np.concatenate(rgb_rows).reshape(M, H, -1)
-        depth_all = np.concatenate(depth_rows).reshape(M, H, -1)
+        # fixed-size padded chunks: one compiled render+encode shape for the
+        # whole run (a ragged final chunk recompiles per distinct remainder)
+        rgb_all, depth_all, rgb_shape, depth_shape = encode_scene_bank(
+            policy, transforms, specs, scene, nodes, headings, chunk=args.chunk
+        )
 
         out = os.path.join(args.bank_dir, f"{os.path.splitext(os.path.basename(scene_id))[0]}.npz")
         save_scene_bank(out, nodes, rgb_all, depth_all, rgb_shape, depth_shape)

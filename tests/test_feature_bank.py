@@ -342,14 +342,14 @@ def test_bank_fidelity_vs_node_spacing(tmp_path):
     (VERDICT r3 weak #8). Regression-sensitive property: a pose exactly ON
     a bank node reproduces the true features to f16 quantization. The
     off-node spacing->error curve is REPORTED and recorded in
-    VALIDATION.md — measured here (deterministic seeds): spacing 1/2/4 m ->
-    mean nearest-node distance 0.37/0.71/1.62 m -> mean rel rgb-feature L2
-    0.096/0.112/0.117 — denser nodes help, with a long tail (max ~0.21 at
-    every spacing: in the 2.5D corridor world a small offset can change
-    which wall fills the view). Production guidance: generate banks on the
-    real connectivity graph (~2.25 m spacing) and set
-    TPU.FEATURE_BANK_MAX_DIST so out-of-coverage poses zero out instead of
-    serving a far node's wrong view."""
+    VALIDATION.md — measured here (deterministic seeds, best-phase lattice
+    anchoring of r5): spacing 1/2/4 m -> mean nearest-node distance
+    0.35/0.73/1.43 m -> mean rel rgb-feature L2 0.095/0.104/0.147 — denser
+    nodes help, with a long tail (max 0.20-0.36: in the 2.5D corridor
+    world a small offset can change which wall fills the view). Production
+    guidance: generate banks on the real connectivity graph (~2.25 m
+    spacing) and set TPU.FEATURE_BANK_MAX_DIST so out-of-coverage poses
+    zero out instead of serving a far node's wrong view."""
     from gymnasium import spaces as gspaces
 
     import vlnce_tpu.models  # noqa: F401
@@ -358,7 +358,7 @@ def test_bank_fidelity_vs_node_spacing(tmp_path):
     from vlnce_tpu.envs import ensure_registered
     from vlnce_tpu.envs.device_sim import SceneBatch, camera_specs_from_config
     from vlnce_tpu.envs.gridworld import GridWorldSim, get_scene
-    from vlnce_tpu.data.feature_bank import encode_poses
+    from vlnce_tpu.data.feature_bank import encode_poses, encode_scene_bank
     from vlnce_tpu.models.seq2seq_policy import Seq2SeqPolicy
     from vlnce_tpu.ops.obs_transforms import get_active_obs_transforms
     from vlnce_tpu.tasks.geometry import quat_from_heading
@@ -438,22 +438,13 @@ def test_bank_fidelity_vs_node_spacing(tmp_path):
     )
 
     def bank_for(nodes):
-        M = nodes.shape[0]
-        npos = np.zeros((M, 3), np.float32)
-        npos[:, 0], npos[:, 2] = nodes[:, 0], nodes[:, 1]
-        rgb_rows, depth_rows = [], []
-        for lo in range(0, M, 256):
-            sl = slice(lo, min(lo + 256, M))
-            r, d, _, _ = encode_poses(
-                policy, transforms, specs, scene_batch(sl.stop - sl.start),
-                npos[sl], np.zeros((sl.stop - sl.start,), np.float32),
-            )
-            rgb_rows.append(r)
-            depth_rows.append(d)
+        rgb_all, depth_all, _, _ = encode_scene_bank(
+            policy, transforms, specs, scene, nodes,
+            np.zeros((1,), np.float32), chunk=256,
+        )
         save_scene_bank(
             os.path.join(str(tmp_path), "synth_scene_0.npz"),
-            nodes, np.concatenate(rgb_rows)[:, None, :],
-            np.concatenate(depth_rows)[:, None, :], rgb_shape, depth_shape,
+            nodes, rgb_all, depth_all, rgb_shape, depth_shape,
         )
         sid = scene_id
 
@@ -500,7 +491,7 @@ def test_bank_fidelity_vs_node_spacing(tmp_path):
     # input and must grow monotonically with the lattice spacing
     assert curve[1.0][0] < curve[2.0][0] < curve[4.0][0], curve
     # and so does the mean feature error (deterministic seeds; measured
-    # 0.096 < 0.112 < 0.117)
+    # 0.095 < 0.104 < 0.147)
     assert curve[1.0][1] < curve[2.0][1] < curve[4.0][1], curve
     # error magnitudes stay bounded (gross-regression tripwire)
     for spacing, (_, mean_rel, max_rel) in curve.items():
@@ -526,12 +517,17 @@ def test_bank_action_and_metric_divergence_vs_spacing(tmp_path):
     ones' bound. Match: the per-step exact rendering this approximates
     (reference habitat_extensions/sensors.py:75-78).
 
-    Measured (deterministic seeds, recorded in VALIDATION.md):
-      spacing 1.0  -> rate 0.271, first-divergence median step 9.5
-      spacing 2.25 -> rate 0.234, first 11.0
-      spacing 4.0  -> rate 0.349, first 5.0
+    Measured (deterministic seeds, best-phase lattice anchoring of r5,
+    recorded in VALIDATION.md):
+      spacing 1.0  -> rate 0.401, first-divergence median step 2.5
+      spacing 2.25 -> rate 0.240, first 11.5
+      spacing 4.0  -> rate 0.401, first 3.5
       metric deltas: d_success = d_spl = 0.0 at every spacing,
-      d_ndtw = -0.002 (render-run means: success 0.0, ndtw 0.257)."""
+      d_ndtw in [-0.002, 0] (render-run means: success 0.0, ndtw 0.257).
+    The non-monotone 1.0 m rate is real: moving a node grid's phase moves
+    WHICH walls fill marginal views, and the closed loop amplifies one
+    early flip into a different trajectory; the guarded claims are
+    bounded divergence at the reference pitch and zero SR/SPL impact."""
     from gymnasium import spaces as gspaces
 
     import vlnce_tpu.models  # noqa: F401
@@ -539,9 +535,9 @@ def test_bank_action_and_metric_divergence_vs_spacing(tmp_path):
     import vlnce_tpu.trainers  # noqa: F401
     from vlnce_tpu.config import get_config
     from vlnce_tpu.envs import ensure_registered
-    from vlnce_tpu.envs.device_sim import SceneBatch, camera_specs_from_config
+    from vlnce_tpu.envs.device_sim import camera_specs_from_config
     from vlnce_tpu.envs.gridworld import get_scene
-    from vlnce_tpu.data.feature_bank import encode_poses
+    from vlnce_tpu.data.feature_bank import encode_scene_bank
     from vlnce_tpu.models.seq2seq_policy import Seq2SeqPolicy
     from vlnce_tpu.ops.obs_transforms import get_active_obs_transforms
     from vlnce_tpu.tasks.datasets import make_dataset
@@ -577,42 +573,25 @@ def test_bank_action_and_metric_divergence_vs_spacing(tmp_path):
     transforms = get_active_obs_transforms(cfg)
     specs = camera_specs_from_config(cfg.TASK_CONFIG.SIMULATOR)
 
-    def scene_batch(scene, n):
-        return jax.device_put(SceneBatch(
-            occupancy=np.broadcast_to(scene.occupancy, (n,) + scene.occupancy.shape),
-            wall_colors=np.broadcast_to(scene.wall_colors, (n,) + scene.wall_colors.shape),
-            floor_color=np.broadcast_to(scene.floor_color, (n, 3)),
-            ceil_color=np.broadcast_to(scene.ceil_color, (n, 3)),
-            goal_field=np.ones((n,) + scene.occupancy.shape, np.float32),
-            d0=np.ones((n,), np.float32),
-            origin_xz=np.zeros((n, 2), np.float32),
-        ))
-
     def build_banks(bank_dir, spacing):
-        """Banks from THE SAME policy's frozen encoders (encode_poses), one
-        npz per scene the episodes touch — generator-script semantics without
-        a second policy init."""
+        """Banks from THE SAME policy's frozen encoders (encode_scene_bank),
+        one npz per scene the episodes touch — generator-script semantics
+        without a second policy init. The fixed-chunk padded encoder keeps
+        every scene/spacing on one compiled shape (the per-(scene, heading)
+        ragged batches this replaced dominated the test's wall time)."""
         os.makedirs(bank_dir, exist_ok=True)
         H = 8
+        headings = (2 * np.pi / H) * np.arange(H, dtype=np.float32)
         for sid in sorted({ep.scene_id for ep in episodes}):
             scene = get_scene(sid)
             nodes = lattice_nodes(scene, spacing)
-            M = nodes.shape[0]
-            rgb_rows, depth_rows = [], []
-            for h in range(H):
-                heading = np.full((M,), h * 2 * np.pi / H, np.float32)
-                pos = np.zeros((M, 3), np.float32)
-                pos[:, 0], pos[:, 2] = nodes[:, 0], nodes[:, 1]
-                r, d, rgb_shape, depth_shape = encode_poses(
-                    policy, transforms, specs, scene_batch(scene, M), pos, heading
-                )
-                rgb_rows.append(r)
-                depth_rows.append(d)
+            rgb_all, depth_all, rgb_shape, depth_shape = encode_scene_bank(
+                policy, transforms, specs, scene, nodes, headings, chunk=256
+            )
             stem = os.path.splitext(os.path.basename(sid))[0]
             save_scene_bank(
                 os.path.join(bank_dir, f"{stem}.npz"),
-                nodes, np.stack(rgb_rows, axis=1), np.stack(depth_rows, axis=1),
-                rgb_shape, depth_shape,
+                nodes, rgb_all, depth_all, rgb_shape, depth_shape,
             )
 
     def rollout(extra_opts):

@@ -269,3 +269,62 @@ def encode_poses(
         rgb.reshape(n, -1), depth.reshape(n, -1),
         tuple(rgb.shape[1:]), tuple(depth.shape[1:]),
     )
+
+
+def encode_scene_bank(
+    policy, transforms, specs, scene, nodes: np.ndarray,
+    headings: np.ndarray, chunk: int = 256,
+    instr_shape: Tuple[int, ...] = (8,), instr_uuid: str = "instruction",
+) -> Tuple[np.ndarray, np.ndarray, Tuple[int, ...], Tuple[int, ...]]:
+    """Encode every (node, heading) pose of ONE scene in fixed-size padded
+    chunks -> (rgb [M, H, F_rgb], depth [M, H, F_depth], rgb_shape,
+    depth_shape).
+
+    The chunking matters for compile behavior, not just memory: a ragged
+    final chunk compiles a fresh render+encode program per distinct
+    remainder (one per scene/spacing on CPU test meshes, a multi-minute
+    recompile per scene on a remote-attached chip). Padding the last chunk
+    to `chunk` poses keeps the whole bank generation — and repeat runs over
+    different scenes — on ONE compiled shape; the padded rows are sliced
+    off before returning. Shared by scripts/generate_feature_bank.py and
+    the bank fidelity tests.
+    """
+    from vlnce_tpu.envs.device_sim import SceneBatch
+
+    M, H = nodes.shape[0], len(headings)
+    total = M * H
+    # every (node, heading) pose, node-major (reshape to [M, H, F] below)
+    pos = np.zeros((total, 3), np.float32)
+    pos[:, 0] = np.repeat(nodes[:, 0], H)
+    pos[:, 2] = np.repeat(nodes[:, 1], H)
+    head = np.tile(np.asarray(headings, np.float32), M)
+
+    scenes = jax.device_put(SceneBatch(
+        occupancy=np.broadcast_to(scene.occupancy, (chunk,) + scene.occupancy.shape),
+        wall_colors=np.broadcast_to(scene.wall_colors, (chunk,) + scene.wall_colors.shape),
+        floor_color=np.broadcast_to(scene.floor_color, (chunk, 3)),
+        ceil_color=np.broadcast_to(scene.ceil_color, (chunk, 3)),
+        goal_field=np.ones((chunk,) + scene.occupancy.shape, np.float32),
+        d0=np.ones((chunk,), np.float32),
+        origin_xz=np.broadcast_to(np.asarray(scene.origin, np.float32), (chunk, 2)),
+    ))
+    rgb_rows, depth_rows = [], []
+    rgb_shape = depth_shape = None
+    for lo in range(0, total, chunk):
+        hi = min(lo + chunk, total)
+        n = hi - lo
+        p, h = pos[lo:hi], head[lo:hi]
+        if n < chunk:
+            p = np.concatenate([p, np.repeat(p[-1:], chunk - n, axis=0)])
+            h = np.concatenate([h, np.repeat(h[-1:], chunk - n, axis=0)])
+        rgb, depth, rgb_shape, depth_shape = encode_poses(
+            policy, transforms, specs, scenes, p, h,
+            instr_shape=instr_shape, instr_uuid=instr_uuid,
+        )
+        rgb_rows.append(rgb[:n])
+        depth_rows.append(depth[:n])
+    return (
+        np.concatenate(rgb_rows).reshape(M, H, -1),
+        np.concatenate(depth_rows).reshape(M, H, -1),
+        rgb_shape, depth_shape,
+    )
