@@ -45,8 +45,16 @@ if shutil.which("g++") and os.path.isdir(_NATIVE_DIR):
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), ".jax_cache"),
-)
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# restore the committed seed entries (fingerprint-guarded — see
+# vlnce_tpu/utils/cache_seed.py) so the dryrun-family programs the slow-tier
+# 2-process tests recompile are warm even on a fresh clone
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from vlnce_tpu.utils.cache_seed import seed_cache  # noqa: E402
+
+seed_cache(_CACHE_DIR)
